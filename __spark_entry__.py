@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries()[name] runs the FULL engine pipeline at sf_dir: synthesize
+the spans-document table (deterministic int64 arithmetic from lineitem
+keys), extract points from geo spans, Morton-encode + range-partition,
+build cell metadata, then answer the query through the two-branch
+(metadata-interior + boundary-scan) plan or the expanding-ring kNN join.
+The matching oracle_sql()[name] recomputes the same points/queries by
+plain arithmetic over the pre-registered DuckDB views and answers
+relationally — the CGAL-differential role of tests/checkCorrectParallel.cpp.
 """
 
 from __future__ import annotations
@@ -12,27 +15,155 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pkd_tree_spark import oracle as OR
+from pkd_tree_spark import fixtures as FX
+from pkd_tree_spark.config import EngineConfig
+from pkd_tree_spark.documents import synth_documents, extract_points, load_points
+from pkd_tree_spark.index import SpatialIndex
+from pkd_tree_spark.knn import auto_knn_level, knn
+from pkd_tree_spark.ranges import (
+    range_count_balls,
+    range_count_boxes,
+    range_count_polygons,
+    range_report_boxes,
+)
+from pkd_tree_spark.updates import merge_delete, merge_insert, sliding_window
+
+D = 2
+NQ_BOX, NQ_BALL, NQ_POLY, NQ_KNN, KNN_K = 64, 64, 32, 32, 10
+CELL_LEVEL = 5
+WINDOW_LEVEL = 4
+WINDOW_LEN = 5
+
+_CFG = EngineConfig(dims=D, index_level=6, knn_level=5, partitions=32)
+
+
+def _build(spark: SparkSession, sf_dir: str, dist: str) -> SpatialIndex:
+    return SpatialIndex.build(load_points(spark, sf_dir, dims=D, dist=dist), _CFG)
+
+
+def _insert_batch(spark: SparkSession, sf_dir: str, dist: str) -> DataFrame:
+    """Fresh documents keyed 10_000_000 + o_orderkey — the update batch goes
+    through the same spans pipeline as the base table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = orders.select((F.lit(FX.INSERT_KEY_OFFSET) + F.col("o_orderkey")).cast("long").alias("k"))
+    return extract_points(synth_documents(spark, sf_dir, dims=D, dist=dist, keys_df=keys), dims=D)
+
+
+def _updated_index(spark: SparkSession, sf_dir: str, dist: str, state: str) -> SpatialIndex:
+    idx = _build(spark, sf_dir, dist)
+    if state in ("inserted", "updated"):
+        idx = merge_insert(idx, _insert_batch(spark, sf_dir, dist))
+    if state == "updated":
+        dels = idx.points.where(F.col("key") % FX.DELETE_MOD == 0).select("key").distinct()
+        idx = merge_delete(idx, dels)
+    return idx
+
+
+def _grid_cells(idx: SpatialIndex, level: int) -> DataFrame:
+    shift = idx.cfg.grid_bits - level
+    return (
+        idx.points.select(*[F.shiftrightunsigned(f"x{j}", shift).alias(f"g{j}") for j in range(D)])
+        .groupBy(*[f"g{j}" for j in range(D)])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --- spatial query callables -------------------------------------------------
+
+def _q_cells(dist: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _grid_cells(_build(spark, sf_dir, dist), CELL_LEVEL)
+    return fn
+
+
+def _q_count_box(dist: str, state: str = "base"):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _updated_index(spark, sf_dir, dist, state)
+        return range_count_boxes(idx, FX.box_fixtures(NQ_BOX, D))
+    return fn
+
+
+def _q_count_ball(dist: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return range_count_balls(_build(spark, sf_dir, dist), FX.ball_fixtures(NQ_BALL, D))
+    return fn
+
+
+def _q_report_box(dist: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return range_report_boxes(_build(spark, sf_dir, dist), FX.box_fixtures(16, D))
+    return fn
+
+
+def _q_count_polygon(dist: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        polys = FX.diamond_fixtures(NQ_POLY)[["qid", "vx", "vy"]]
+        return range_count_polygons(_build(spark, sf_dir, dist), polys)
+    return fn
+
+
+def _q_knn(dist: str, state: str = "base"):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _updated_index(spark, sf_dir, dist, state)
+        n = idx.points.count()
+        res = knn(idx, FX.knn_fixtures(NQ_KNN, D), k=KNN_K, level=auto_knn_level(n, D))
+        return res.select("qid", "rn", "key", "dist2")
+    return fn
+
+
+def _q_sliding_window(dist: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pts = load_points(spark, sf_dir, dims=D, dist=dist)
+        period = F.col("key") % FX.SLIDING_PERIODS
+        idx = SpatialIndex.build(pts.where(F.lit(False)), _CFG)  # start empty
+        batches = [pts.where(period == t) for t in range(FX.SLIDING_PERIODS)]
+        idx = sliding_window(idx, batches, window_len=WINDOW_LEN)
+        return _grid_cells(idx, WINDOW_LEVEL)
+    return fn
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: rectangle range count over the Z-order index at sf0.001."""
+    idx = _build(spark, "/root/testdata/sf0.001", "uniform")
+    return range_count_boxes(idx, FX.box_fixtures(16, D))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "spatial_cells_uniform": _q_cells("uniform"),
+        "spatial_cells_varden": _q_cells("varden"),
+        "spatial_range_count_box_uniform": _q_count_box("uniform"),
+        "spatial_range_count_box_varden": _q_count_box("varden"),
+        "spatial_range_count_ball_uniform": _q_count_ball("uniform"),
+        "spatial_range_count_ball_varden": _q_count_ball("varden"),
+        "spatial_range_report_box_uniform": _q_report_box("uniform"),
+        "spatial_range_count_polygon_uniform": _q_count_polygon("uniform"),
+        "spatial_knn_uniform": _q_knn("uniform"),
+        "spatial_knn_varden": _q_knn("varden"),
+        "spatial_knn_after_update": _q_knn("uniform", state="updated"),
+        "spatial_range_count_box_inserted": _q_count_box("uniform", state="inserted"),
+        "spatial_range_count_box_updated": _q_count_box("uniform", state="updated"),
+        "spatial_sliding_window_cells": _q_sliding_window("uniform"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "spatial_cells_uniform": OR.cells_sql(CELL_LEVEL, D, "uniform"),
+        "spatial_cells_varden": OR.cells_sql(CELL_LEVEL, D, "varden"),
+        "spatial_range_count_box_uniform": OR.range_count_box_sql(NQ_BOX, D, "uniform"),
+        "spatial_range_count_box_varden": OR.range_count_box_sql(NQ_BOX, D, "varden"),
+        "spatial_range_count_ball_uniform": OR.range_count_ball_sql(NQ_BALL, D, "uniform"),
+        "spatial_range_count_ball_varden": OR.range_count_ball_sql(NQ_BALL, D, "varden"),
+        "spatial_range_report_box_uniform": OR.range_report_box_sql(16, D, "uniform"),
+        "spatial_range_count_polygon_uniform": OR.range_count_diamond_sql(NQ_POLY, "uniform"),
+        "spatial_knn_uniform": OR.knn_sql(NQ_KNN, KNN_K, D, "uniform"),
+        "spatial_knn_varden": OR.knn_sql(NQ_KNN, KNN_K, D, "varden"),
+        "spatial_knn_after_update": OR.knn_sql(NQ_KNN, KNN_K, D, "uniform", state="updated"),
+        "spatial_range_count_box_inserted": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "inserted"),
+        "spatial_range_count_box_updated": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "updated"),
+        "spatial_sliding_window_cells": OR.sliding_window_cells_sql(WINDOW_LEVEL, WINDOW_LEN, D, "uniform"),
+    }

@@ -1,0 +1,160 @@
+"""Benchmark suite mirroring the reference's SIGMOD'25 workloads
+(BASELINE.md): bulk build, batch 10-NN (1% of n queries), range count
+(mixed-selectivity boxes), and 1% batch insert/delete — on both uniform
+and varden-skew points, at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "suite_total", "value": <sum sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "n_points": n, "cpus": c,
+   "throughput": {name: items/sec, ...}}
+
+--scaling: run the suite in two subprocesses (local[N], local[4N]) on the
+same input and report throughput scaling efficiency (the sandbox stand-in
+for the north rule's N vs 4N executors; methodology mirrors
+script/scalability.sh). Writes BENCH/SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def run_suite() -> dict:
+    from pyspark.sql import functions as F
+
+    from pkd_tree_spark import fixtures as FX
+    from pkd_tree_spark.config import EngineConfig
+    from pkd_tree_spark.documents import load_points
+    from pkd_tree_spark.index import SpatialIndex
+    from pkd_tree_spark.knn import auto_knn_level, knn
+    from pkd_tree_spark.ranges import range_count_boxes
+    from pkd_tree_spark.session import get_spark
+    from pkd_tree_spark.updates import merge_delete, merge_insert
+
+    spark = get_spark(app="pkd-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    thr: dict[str, float] = {}
+
+    def timed(name: str, fn, items: int | None = None):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        if items:
+            thr[name] = round(items / dt, 1)
+        return out
+
+    # warm the JVM/session so build timings don't pay first-job setup
+    spark.range(1000).count()
+
+    idx = {}
+    n_points = 0
+    for dist in ("uniform", "varden"):
+        pts = load_points(spark, SF_DIR, dims=2, dist=dist)
+        cfg = EngineConfig(dims=2, index_level=7, knn_level=6, partitions=CPUS)
+
+        def _build(pts=pts, cfg=cfg):
+            ix = SpatialIndex.build(pts, cfg)
+            ix.points.count()  # force the shuffle + persist
+            ix.meta.count()
+            return ix
+
+        ix = timed(f"build_{dist}", _build)
+        n_points = ix.points.count()
+        idx[dist] = ix
+        thr[f"build_{dist}"] = round(n_points / times[f"build_{dist}"], 1)
+
+        # batch 10-NN: queries = 1% sample of the input itself
+        # (batchQueryRatio=0.01, testFramework.h:24) -> in-distribution
+        qpd = (
+            ix.points.where(F.col("key") % 100 == 3)
+            .select(F.col("key").alias("qid"), F.col("x0").alias("q0"), F.col("x1").alias("q1"))
+            .toPandas()
+            .drop_duplicates("qid", ignore_index=True)
+        )
+        lvl = auto_knn_level(n_points, 2)
+        timed(
+            f"knn10_{dist}",
+            lambda ix=ix, qpd=qpd, lvl=lvl: knn(ix, qpd, k=10, level=lvl)
+            .groupBy().agg(F.sum("dist2")).collect(),
+            items=len(qpd),
+        )
+
+        # range count: 1000 mixed-selectivity boxes
+        boxes = FX.box_fixtures(1000, 2)
+        timed(
+            f"range_count_{dist}",
+            lambda ix=ix, boxes=boxes: range_count_boxes(ix, boxes).groupBy().agg(F.sum("cnt")).collect(),
+            items=len(boxes),
+        )
+
+    # batch update: insert then delete a 1% batch (tests/test.cpp:53-74)
+    ix = idx["uniform"]
+    batch = (
+        ix.points.where(F.col("key") % 100 == 7)
+        .select("doc_id", "span_idx", (F.col("key") + 50_000_000).alias("key"), "x0", "x1")
+    ).persist()
+    bn = batch.count()
+    ins = timed("batch_insert_1pct", lambda: merge_insert(ix, batch), items=bn)
+    ins.points.count() if hasattr(ins, "points") else None
+    timed("batch_delete_1pct", lambda: merge_delete(ins, batch.select("key")).points.count(), items=bn)
+
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    return {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "n_points": int(n_points),
+        "cpus": CPUS,
+        "throughput": thr,
+    }
+
+
+def run_scaling(base: int = 8, mult: int = 4) -> dict:
+    """Same job at local[base] and local[base*mult]; efficiency =
+    (T_base / T_big) / mult per headline query (>=0.8 target)."""
+    results = {}
+    for c in (base, base * mult):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(c), SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+        )
+        results[c] = json.loads(out.stdout.strip().splitlines()[-1])
+    eff = {}
+    for q, t_small in results[base]["queries"].items():
+        t_big = results[base * mult]["queries"][q]
+        eff[q] = round((t_small / t_big) / mult, 3)
+    rep = {
+        "base_cpus": base,
+        "big_cpus": base * mult,
+        "times_base": results[base]["queries"],
+        "times_big": results[base * mult]["queries"],
+        "throughput_base": results[base]["throughput"],
+        "throughput_big": results[base * mult]["throughput"],
+        "scaling_efficiency": eff,
+        "sf": results[base]["sf"],
+        "n_points": results[base]["n_points"],
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SCALING.json", "w") as f:
+        json.dump(rep, f, indent=2)
+    return rep
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

@@ -1,0 +1,81 @@
+"""Engine configuration and shared deterministic constants.
+
+Everything that must agree between the Spark engine and the DuckDB oracle
+(coordinate derivation, query generation, hashing) lives here as plain
+integers so both sides compute bit-identical int64 values.
+
+Reference parity notes (ucrparlay/Pkd-tree):
+  - coordinate domain [0, 1e6] mirrors the reference generator's
+    ``box_size = 1e6`` (tests/testFramework.h:965-989).
+  - fixed-point integer coordinates replace the reference's epsilon
+    comparator (include/cpdd/comparator.h:10-79) — exact comparisons are
+    shuffle-stable across executors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Deterministic arithmetic constants (shared with pkd_tree_spark.oracle).
+# Knuth / xxhash-style odd multipliers; all products stay < 2^63 for the
+# key ranges produced by the sf<=1 testdata.
+# ---------------------------------------------------------------------------
+COORD_BOUND = 1_000_001  # coords in [0, 1_000_000], matches reference box_size=1e6
+A1 = 2_654_435_761
+A2 = 2_246_822_519
+A3 = 3_266_489_917
+B1 = 12_345
+B2 = 54_321
+B3 = 777_771
+
+# Varden (variable-density cluster) constants — stand-in for the reference's
+# ss_varden generator (script/gen_ss_varden.sh): hot clusters + sparse tail.
+VARDEN_CLUSTERS = 64
+VARDEN_CENTER_MULT = 48_271 * 7_919
+VARDEN_SIGMA_MULT = 5_077
+VARDEN_SIGMA_BASE = 50
+VARDEN_SIGMA_MOD = 20_000
+
+GRID_BITS = 20  # 2^20 = 1_048_576 > COORD_BOUND: every coord fits in GRID_BITS
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Runtime knobs for the spatial engine.
+
+    dims          : point dimensionality (reference supports d in {2,3,5,...};
+                    tests/test.cpp:569-617 — here a runtime parameter).
+    index_level   : grid level of the cell metadata table; one metadata row per
+                    non-empty level-``index_level`` cell. Plays the role of the
+                    kd-tree's top splitter levels (build_tree.hpp:19-45).
+    knn_level     : grid level used for expanding-ring kNN candidate
+                    generation (coarser than index_level so a ring holds
+                    O(k) candidates).
+    partitions    : shuffle/range partitions for the points table. At cluster
+                    scale this is ~2-3x the executor-core count; on local[32]
+                    testing we keep it at 32.
+    leaf_target   : desired rows per level-``index_level`` cell; used by the
+                    skew monitor to trigger re-tiling (the weight-balance
+                    rebuild analog, tree_node.hpp:126-131).
+    imbalance_ratio : cell-count skew threshold (reference INBALANCE_RATIO=30,
+                    kdTreeParallel.h:48).
+    """
+
+    dims: int = 2
+    index_level: int = 7
+    knn_level: int = 5
+    partitions: int = 32
+    leaf_target: int = 4096
+    imbalance_ratio: int = 30
+    grid_bits: int = GRID_BITS
+
+    @property
+    def cell_width(self) -> int:
+        return 1 << (self.grid_bits - self.index_level)
+
+    def width_at(self, level: int) -> int:
+        return 1 << (self.grid_bits - level)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,77 @@
+"""Deterministic query/update fixtures, derived by pure int64 arithmetic so
+the DuckDB oracle (oracle.py) can regenerate them exactly in SQL.
+
+Mirrors the reference's fixture machinery:
+  - box/ball query generators (tests/testFramework.h:54-149, 539-571)
+  - batch query ratio / OOD variants (tests/test.cpp:89, 494-509)
+  - insert/delete batches (tests/test.cpp:53-74)
+Selectivity brackets vary with qid through the half-width/radius formulas
+(from ~selective to ~type-2 "large" boxes).
+
+Any change to a formula here MUST be mirrored in oracle.py; the pytest
+``tests/test_oracle_consistency.py`` cross-checks the two.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import config as C
+
+M = C.COORD_BOUND
+_MULTS = (C.A1, C.A2, C.A3)
+
+# formula offsets (also used by oracle.py)
+BOX_CENTER_OFF = (1009, 2003, 3001)
+BOX_HW_BASE, BOX_HW_OFF, BOX_HW_MOD = 2000, 7, 150_000
+BALL_CENTER_OFF = (4001, 5003, 6007)
+BALL_R_BASE, BALL_R_OFF, BALL_R_MOD = 1000, 3, 120_000
+KNN_Q_OFF = (7, 11, 13)
+DIAMOND_C_OFF = (8009, 9001)
+DIAMOND_R_BASE, DIAMOND_R_OFF, DIAMOND_R_MOD = 5000, 17, 120_000
+INSERT_KEY_OFFSET = 10_000_000
+DELETE_MOD = 7
+SLIDING_PERIODS = 10
+
+
+def box_fixtures(nq: int, d: int = 2) -> pd.DataFrame:
+    qid = np.arange(nq, dtype=np.int64)
+    hw = BOX_HW_BASE + (qid * C.A3 + BOX_HW_OFF) % BOX_HW_MOD
+    cols = {"qid": qid}
+    for j in range(d):
+        c = (qid * _MULTS[j] + BOX_CENTER_OFF[j]) % M
+        cols[f"lo{j}"] = np.maximum(0, c - hw)
+        cols[f"hi{j}"] = np.minimum(M - 1, c + hw)
+    return pd.DataFrame(cols)
+
+
+def ball_fixtures(nq: int, d: int = 2) -> pd.DataFrame:
+    qid = np.arange(nq, dtype=np.int64)
+    r = BALL_R_BASE + (qid * C.A1 + BALL_R_OFF) % BALL_R_MOD
+    cols = {"qid": qid}
+    for j in range(d):
+        cols[f"c{j}"] = (qid * _MULTS[j] + BALL_CENTER_OFF[j]) % M
+    cols["r2"] = r * r
+    return pd.DataFrame(cols)
+
+
+def knn_fixtures(nq: int, d: int = 2) -> pd.DataFrame:
+    qid = np.arange(nq, dtype=np.int64)
+    cols = {"qid": qid}
+    for j in range(d):
+        cols[f"q{j}"] = (qid * _MULTS[j] + KNN_Q_OFF[j]) % M
+    return pd.DataFrame(cols)
+
+
+def diamond_fixtures(nq: int) -> pd.DataFrame:
+    """Rotated-square (L1-ball) convex polygons, CCW, d=2. Exercises the
+    generic convex-polygon path while staying oracle-expressible as
+    |x-c0| + |y-c1| <= R."""
+    qid = np.arange(nq, dtype=np.int64)
+    c0 = (qid * C.A1 + DIAMOND_C_OFF[0]) % M
+    c1 = (qid * C.A2 + DIAMOND_C_OFF[1]) % M
+    R = DIAMOND_R_BASE + (qid * C.A3 + DIAMOND_R_OFF) % DIAMOND_R_MOD
+    vx = [[int(a + r), int(a), int(a - r), int(a)] for a, r in zip(c0, R)]
+    vy = [[int(b), int(b + r), int(b), int(b - r)] for b, r in zip(c1, R)]
+    return pd.DataFrame({"qid": qid, "vx": vx, "vy": vy, "c0": c0, "c1": c1, "r": R})

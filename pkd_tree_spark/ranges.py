@@ -1,0 +1,247 @@
+r"""Range count / range report over the Z-order index.
+
+Reference operators reproduced (SURVEY.md §2.4):
+  R1 rectangle count  (query_op/range_count.hpp:8-96)
+  R2 radius count     (range_count.hpp:98-131)
+  R4/R5 range report  (query_op/range_query.hpp)
+  + point-in-convex-polygon (north-star extension; no reference analog).
+
+Physical plan per query batch (all JVM-side after the driver computes the
+data-independent cell covers):
+
+  covers (small, broadcast)         meta (per-cell counts)      points
+      |  interior cells  \____________/                           |
+      |                       per-level prefix equi-join          |
+      |                       -> SUM(cnt)  [no data touched]      |
+      |  boundary cells  ________________________________________/
+      |                       per-level cell equi-join (broadcast)
+      |                       -> exact predicate -> COUNT/rows
+      +-> union -> groupBy(qid)
+
+The interior branch is the reference's containment short-circuit
+(`within_box -> return T->size`, range_count.hpp:79-80) expressed as
+partition-pruned metadata aggregation; the boundary branch touches only
+perimeter cells. Covers are disjoint per qid, so the union never double
+counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import EngineConfig
+from .index import BallRegion, BoxRegion, ConvexPolygonRegion, SpatialIndex, cover_regions
+
+__all__ = [
+    "box_queries_df",
+    "ball_queries_df",
+    "range_count_boxes",
+    "range_count_balls",
+    "range_report_boxes",
+    "range_count_polygons",
+]
+
+
+# ---------------------------------------------------------------------------
+# query-set plumbing
+# ---------------------------------------------------------------------------
+
+def box_queries_df(spark: SparkSession, boxes: pd.DataFrame) -> DataFrame:
+    """boxes: pandas with columns qid, lo0..lo{d-1}, hi0..hi{d-1} (int64)."""
+    return spark.createDataFrame(boxes)
+
+
+def ball_queries_df(spark: SparkSession, balls: pd.DataFrame) -> DataFrame:
+    """balls: pandas with columns qid, c0..c{d-1}, r2 (int64)."""
+    return spark.createDataFrame(balls)
+
+
+def _box_regions(boxes: pd.DataFrame, d: int):
+    return [
+        (int(r.qid), BoxRegion([getattr(r, f"lo{j}") for j in range(d)], [getattr(r, f"hi{j}") for j in range(d)]))
+        for r in boxes.itertuples()
+    ]
+
+
+def _ball_regions(balls: pd.DataFrame, d: int):
+    return [
+        (int(r.qid), BallRegion([getattr(r, f"c{j}") for j in range(d)], int(r.r2)))
+        for r in balls.itertuples()
+    ]
+
+
+def _and_all(preds: list[Column]) -> Column:
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _ball_pred(d: int) -> Column:
+    dist2 = None
+    for j in range(d):
+        t = (F.col(f"x{j}") - F.col(f"c{j}")) * (F.col(f"x{j}") - F.col(f"c{j}"))
+        dist2 = t if dist2 is None else dist2 + t
+    return dist2 <= F.col("r2")
+
+
+def _polygon_pred() -> Column:
+    """Point (x0,x1) inside CCW convex polygon (vx, vy arrays), d=2.
+
+    Higher-order function (F.forall) — stays JVM-side, no Python in the
+    row path. Cross products are exact int64 (coords < 2^20).
+    """
+    n = F.size("vx")
+
+    def edge_ok(i: Column) -> Column:
+        j = (i + F.lit(1)) % n
+        ex = F.element_at("vx", j + 1) - F.element_at("vx", i + 1)
+        ey = F.element_at("vy", j + 1) - F.element_at("vy", i + 1)
+        px = F.col("x0") - F.element_at("vx", i + 1)
+        py = F.col("x1") - F.element_at("vy", i + 1)
+        return (ex * py - ey * px) >= 0
+
+    return F.forall(F.sequence(F.lit(0), n - 1), edge_ok)
+
+
+# ---------------------------------------------------------------------------
+# core two-branch plan
+# ---------------------------------------------------------------------------
+
+def _interior_counts(index: SpatialIndex, covers: pd.DataFrame) -> DataFrame | None:
+    """SUM per-cell metadata counts for fully-contained cover cells —
+    answers without touching point rows (range_count.hpp:79-80 analog)."""
+    spark = index.points.sparkSession
+    d, L = index.cfg.dims, index.cfg.index_level
+    inter = covers[covers.interior]
+    if inter.empty:
+        return None
+    parts = []
+    for level, grp in inter.groupby("level"):
+        cdf = F.broadcast(spark.createDataFrame(grp[["qid", "cell"]]))
+        shift = d * (L - int(level))
+        m = index.meta.withColumn("pcell", F.shiftrightunsigned("cell", shift) if shift else F.col("cell"))
+        parts.append(
+            m.join(cdf, m.pcell == cdf.cell).groupBy("qid").agg(F.sum("cnt").alias("cnt"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _boundary_candidates(index: SpatialIndex, covers: pd.DataFrame, interior_too: bool = False) -> DataFrame | None:
+    """Point rows inside cover cells, tagged with qid (per-level broadcast
+    equi-joins on the Morton prefix — the candidate-generation join)."""
+    spark = index.points.sparkSession
+    d, gb = index.cfg.dims, index.cfg.grid_bits
+    sel = covers if interior_too else covers[~covers.interior]
+    if sel.empty:
+        return None
+    parts = []
+    for level, grp in sel.groupby("level"):
+        cdf = F.broadcast(
+            spark.createDataFrame(grp[["qid", "cell", "interior"]].rename(columns={"cell": "qcell"}))
+        )
+        shift = d * (gb - int(level))
+        pts = index.points.withColumn("pcell", F.shiftrightunsigned("morton", shift))
+        parts.append(pts.join(cdf, pts.pcell == cdf.qcell).drop("pcell", "qcell"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _finalize_counts(queries_df: DataFrame, branches: list[DataFrame | None]) -> DataFrame:
+    live = [b for b in branches if b is not None]
+    if not live:
+        return queries_df.select("qid", F.lit(0).cast("long").alias("cnt"))
+    u = live[0]
+    for b in live[1:]:
+        u = u.unionByName(b)
+    agg = u.groupBy("qid").agg(F.sum("cnt").alias("cnt"))
+    return (
+        queries_df.select("qid")
+        .join(agg, "qid", "left")
+        .select("qid", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
+    )
+
+
+def _count_plan(index: SpatialIndex, queries_df: DataFrame, covers: pd.DataFrame, exact_pred: Column) -> DataFrame:
+    interior = _interior_counts(index, covers)
+    cand = _boundary_candidates(index, covers)
+    boundary = None
+    if cand is not None:
+        boundary = (
+            cand.join(F.broadcast(queries_df), "qid")
+            .where(exact_pred)
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    return _finalize_counts(queries_df, [interior, boundary])
+
+
+# ---------------------------------------------------------------------------
+# public operators
+# ---------------------------------------------------------------------------
+
+def range_count_boxes(index: SpatialIndex, boxes: pd.DataFrame, budget: int = 512) -> DataFrame:
+    """(qid, cnt) — rectangle range count (R1)."""
+    spark = index.points.sparkSession
+    d = index.cfg.dims
+    covers = cover_regions(_box_regions(boxes, d), index.cfg, budget)
+    qdf = box_queries_df(spark, boxes)
+    return _count_plan(index, qdf, covers, _and_all(
+        [F.col(f"x{j}").between(F.col(f"lo{j}"), F.col(f"hi{j}")) for j in range(d)]
+    ))
+
+
+def range_count_balls(index: SpatialIndex, balls: pd.DataFrame, budget: int = 512) -> DataFrame:
+    """(qid, cnt) — radius range count (R2); exact squared-int arithmetic."""
+    spark = index.points.sparkSession
+    d = index.cfg.dims
+    covers = cover_regions(_ball_regions(balls, d), index.cfg, budget)
+    qdf = ball_queries_df(spark, balls)
+    return _count_plan(index, qdf, covers, _ball_pred(d))
+
+
+def range_report_boxes(index: SpatialIndex, boxes: pd.DataFrame, budget: int = 512) -> DataFrame:
+    """(qid, doc_id, span_idx, key, x0..) — rectangle range report (R4/R5).
+
+    Interior-cell rows skip the predicate entirely (the bulk-flatten path,
+    range_query.hpp:99-102); boundary rows get the exact filter.
+    """
+    spark = index.points.sparkSession
+    d = index.cfg.dims
+    covers = cover_regions(_box_regions(boxes, d), index.cfg, budget)
+    cand = _boundary_candidates(index, covers, interior_too=True)
+    cols = ["qid", "doc_id", "span_idx", "key"] + [f"x{j}" for j in range(d)]
+    if cand is None:
+        return spark.createDataFrame([], schema="qid long, doc_id string, span_idx int, key long, "
+                                      + ", ".join(f"x{j} long" for j in range(d)))
+    qdf = box_queries_df(spark, boxes)
+    pred = _and_all([F.col(f"x{j}").between(F.col(f"lo{j}"), F.col(f"hi{j}")) for j in range(d)])
+    return (
+        cand.join(F.broadcast(qdf), "qid")
+        .where(F.col("interior") | pred)
+        .select(*cols)
+    )
+
+
+def range_count_polygons(index: SpatialIndex, polys: pd.DataFrame, budget: int = 512) -> DataFrame:
+    """(qid, cnt) — point-in-convex-polygon count, d=2.
+
+    polys: pandas with columns qid, vx (list[int]), vy (list[int]), CCW.
+    """
+    spark = index.points.sparkSession
+    assert index.cfg.dims == 2, "polygon queries are 2-D"
+    regions = [
+        (int(r.qid), ConvexPolygonRegion(np.stack([np.asarray(r.vx), np.asarray(r.vy)], axis=1)))
+        for r in polys.itertuples()
+    ]
+    covers = cover_regions(regions, index.cfg, budget)
+    qdf = spark.createDataFrame(polys)
+    return _count_plan(index, qdf, covers, _polygon_pred())

@@ -1,0 +1,306 @@
+"""Batch updates: MERGE-style insert/delete, skew-triggered re-tiling,
+sliding-window maintenance, and resumable lineage checkpoints.
+
+Reference operators reproduced (SURVEY.md §2.5-2.6):
+  U1 batchInsert  (batch_op/batch_insert.hpp:59-191)
+  U3 rebuild_with_insert (batch_insert.hpp:94-105)      -> retile/compact
+  U4/U5 batchDelete full/partial cover (batch_op/batch_delete.hpp)
+  U7 incremental build (testFramework.h:209-254)
+  U8 sliding-window insert+delete (testFramework.h:817-869)
+  M1 weight-balance imbalance test (utility/tree_node.hpp:117-131)
+  M2 update_inner_tree metadata refresh (batch_helpers.hpp:124-142)
+
+Spark-first semantics: the index is immutable data + metadata; an update
+produces a new SpatialIndex whose metadata was refreshed *incrementally*
+(delta aggregation over only the touched cells — the analog of re-linking
+only tagged skeleton nodes). In a real deployment the points table is an
+Iceberg table and insert/delete are `MERGE INTO` with copy-on-write of the
+touched cell files; here the same dataflow runs on DataFrames/parquet, and
+``PersistentIndex`` shows the on-disk layout (points partitioned by Morton
+bucket, per-bucket lineage markers so a killed run resumes without
+recomputation).
+
+Delete metadata note: per-cell counts stay exact; per-cell min/max bounds
+become conservative supersets after deletes (still correct for pruning —
+covers use *geometric* cell bounds). A retile/compact recomputes them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import EngineConfig, DEFAULT_CONFIG
+from .index import SpatialIndex
+from .zorder import cell_col, morton_col
+
+__all__ = [
+    "merge_insert",
+    "merge_delete",
+    "check_skew",
+    "retile",
+    "sliding_window",
+    "Checkpoint",
+    "PersistentIndex",
+]
+
+
+def _with_morton(points_df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    xcols = [F.col(f"x{j}") for j in range(cfg.dims)]
+    return points_df.withColumn("morton", morton_col(xcols, cfg.dims, cfg.grid_bits))
+
+
+def _meta_of(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    xcols = [f"x{j}" for j in range(cfg.dims)]
+    return points.groupBy(
+        cell_col(F.col("morton"), cfg.dims, cfg.index_level, cfg.grid_bits).alias("cell")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.min(c).alias(f"mn{j}") for j, c in enumerate(xcols)],
+        *[F.max(c).alias(f"mx{j}") for j, c in enumerate(xcols)],
+    )
+
+
+def _merge_meta(old: DataFrame, delta: DataFrame, cfg: EngineConfig, sign: int) -> DataFrame:
+    """Combine per-cell stats; sign=+1 insert, -1 delete. Cells reaching
+    cnt<=0 drop out (the thin-subtree collapse, kdTreeParallel.h:42)."""
+    d = cfg.dims
+    o = old.select(
+        "cell", F.col("cnt").alias("ocnt"),
+        *[F.col(f"mn{j}").alias(f"omn{j}") for j in range(d)],
+        *[F.col(f"mx{j}").alias(f"omx{j}") for j in range(d)],
+    )
+    dl = delta.select(
+        "cell", F.col("cnt").alias("dcnt"),
+        *[F.col(f"mn{j}").alias(f"dmn{j}") for j in range(d)],
+        *[F.col(f"mx{j}").alias(f"dmx{j}") for j in range(d)],
+    )
+    j = o.join(dl, "cell", "full_outer")
+    cnt = F.coalesce("ocnt", F.lit(0)) + F.lit(sign) * F.coalesce("dcnt", F.lit(0))
+    cols = [F.col("cell"), cnt.alias("cnt")]
+    for jj in range(d):
+        if sign > 0:
+            cols.append(F.least(F.coalesce(f"omn{jj}", f"dmn{jj}"), F.coalesce(f"dmn{jj}", f"omn{jj}")).alias(f"mn{jj}"))
+            cols.append(F.greatest(F.coalesce(f"omx{jj}", f"dmx{jj}"), F.coalesce(f"dmx{jj}", f"omx{jj}")).alias(f"mx{jj}"))
+        else:  # delete: keep old (conservative) bounds
+            cols.append(F.coalesce(f"omn{jj}", f"dmn{jj}").alias(f"mn{jj}"))
+            cols.append(F.coalesce(f"omx{jj}", f"dmx{jj}").alias(f"mx{jj}"))
+    return j.select(*cols).where(F.col("cnt") > 0)
+
+
+def merge_insert(index: SpatialIndex, new_points: DataFrame, persist: bool = True) -> SpatialIndex:
+    """U1 batchInsert: encode the batch, append, refresh metadata
+    incrementally (only touched cells aggregate — one small shuffle)."""
+    cfg = index.cfg
+    base_cols = [c for c in index.points.columns if c != "morton"]
+    batch = _with_morton(new_points.select(*base_cols), cfg)
+    pts = index.points.unionByName(batch)
+    meta = _merge_meta(index.meta, _meta_of(batch, cfg), cfg, +1)
+    if persist:
+        pts, meta = pts.persist(), meta.persist()
+    return SpatialIndex(points=pts, meta=meta, cfg=cfg)
+
+
+def merge_delete(index: SpatialIndex, delete_keys: DataFrame, persist: bool = True) -> SpatialIndex:
+    """U4/U5 batchDelete by (key) or (key, span_idx): MERGE ... WHEN MATCHED
+    THEN DELETE == left_anti join. Partial cover (absent keys) is a no-op by
+    construction — the reference's FullCovered/PartialCover split collapses
+    (batch_delete.hpp:93-107)."""
+    cfg = index.cfg
+    on = [c for c in ("key", "span_idx") if c in delete_keys.columns]
+    removed = index.points.join(F.broadcast(delete_keys.select(*on).distinct()), on, "left_semi")
+    pts = index.points.join(F.broadcast(delete_keys.select(*on).distinct()), on, "left_anti")
+    meta = _merge_meta(index.meta, _meta_of(removed, cfg), cfg, -1)
+    if persist:
+        pts, meta = pts.persist(), meta.persist()
+    return SpatialIndex(points=pts, meta=meta, cfg=cfg)
+
+
+def check_skew(index: SpatialIndex) -> dict:
+    """M1 analog: per-cell population skew. The reference rebuilds a subtree
+    when |100*l/n - 50| > INBALANCE_RATIO (tree_node.hpp:126-131); the
+    distributed analog flags the index when the hottest cell exceeds
+    leaf_target * (1 + ratio/10) or partitions drift empty."""
+    cfg = index.cfg
+    s = index.meta.agg(
+        F.max("cnt").alias("max_cnt"), F.avg("cnt").alias("avg_cnt"), F.count(F.lit(1)).alias("cells")
+    ).collect()[0]
+    threshold = cfg.leaf_target * (1 + cfg.imbalance_ratio / 10.0)
+    return {
+        "max_cell": s["max_cnt"],
+        "avg_cell": float(s["avg_cnt"]),
+        "cells": s["cells"],
+        "threshold": threshold,
+        "needs_retile": bool(s["max_cnt"] and s["max_cnt"] > threshold),
+    }
+
+
+def retile(index: SpatialIndex) -> SpatialIndex:
+    """U3/M3 analog: full re-tiling (rebuild_with_insert) — re-shuffle on the
+    Morton key with fresh range bounds and recompute exact metadata. At
+    cluster scale this is the compaction job that rewrites only cells past
+    the imbalance bound; with AQE + range partitioning the full rewrite is
+    a single well-balanced shuffle, so we rebuild exactly."""
+    cfg = index.cfg
+    pts = index.points.repartitionByRange(cfg.partitions, "morton").sortWithinPartitions("morton").persist()
+    meta = _meta_of(pts, cfg).persist()
+    return SpatialIndex(points=pts, meta=meta, cfg=cfg)
+
+
+def sliding_window(
+    index: SpatialIndex,
+    period_batches: list[DataFrame],
+    window_len: int = 5,
+    on_step=None,
+) -> SpatialIndex:
+    """U8: per period t insert batch[t], delete batch[t-window_len]
+    (sliding_window_len=5, testFramework.h:26). ``on_step(t, index)`` lets
+    callers run probes (e.g. kNN) between steps as the harness does."""
+    key_cols = ["key", "span_idx"]
+    for t, batch in enumerate(period_batches):
+        index = merge_insert(index, batch, persist=False)
+        if t >= window_len:
+            index = merge_delete(index, period_batches[t - window_len].select(*key_cols), persist=False)
+        # truncate lineage per period: without this the 2-joins-per-step
+        # plan nests `len(period_batches)` deep and planning time explodes.
+        # (Cluster deployments would use checkpoint() to reliable storage —
+        # which is also the resumability story; localCheckpoint suffices
+        # for correctness/perf here.)
+        index = SpatialIndex(
+            points=index.points.localCheckpoint(eager=True),
+            meta=index.meta.localCheckpoint(eager=True),
+            cfg=index.cfg,
+        )
+        if on_step is not None:
+            on_step(t, index)
+    return index
+
+
+# ---------------------------------------------------------------------------
+# persistence + lineage
+# ---------------------------------------------------------------------------
+
+class Checkpoint:
+    """Per-stage lineage markers (JSON file per completed stage + metrics).
+
+    Any pipeline stage wrapped in ``run(stage, fn)`` is skipped on re-run if
+    its marker exists — the resumability requirement (north rule): a killed
+    job resumes at the last completed stage without recomputation.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self.path, f"{stage}.done.json")
+
+    def has(self, stage: str) -> bool:
+        return os.path.exists(self._marker(stage))
+
+    def info(self, stage: str) -> dict | None:
+        if not self.has(stage):
+            return None
+        with open(self._marker(stage)) as f:
+            return json.load(f)
+
+    def run(self, stage: str, fn, **metrics):
+        if self.has(stage):
+            return self.info(stage)
+        t0 = time.time()
+        payload = fn() or {}
+        rec = {"stage": stage, "elapsed_sec": time.time() - t0, **metrics, **payload}
+        tmp = self._marker(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._marker(stage))  # atomic: no half-written markers
+        return rec
+
+
+@dataclass
+class PersistentIndex:
+    """On-disk layout: points parquet partitioned by coarse Morton bucket
+    (pbucket = cell at bucket_level), sorted by morton within files, plus a
+    meta parquet. Buckets are the unit of copy-on-write for updates and of
+    per-partition lineage."""
+
+    path: str
+    cfg: EngineConfig
+    bucket_level: int = 3  # 2^(d*3)=64 buckets for d=2 — the reference's 64-way skeleton
+
+    @property
+    def points_path(self) -> str:
+        return os.path.join(self.path, "points")
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.path, "meta")
+
+    def write(self, index: SpatialIndex, ckpt: Checkpoint | None = None) -> "PersistentIndex":
+        ckpt = ckpt or Checkpoint(os.path.join(self.path, "_lineage"))
+        cfg = self.cfg
+
+        def _write_points():
+            pts = index.points.withColumn(
+                "pbucket", cell_col(F.col("morton"), cfg.dims, self.bucket_level, cfg.grid_bits)
+            )
+            (
+                pts.repartitionByRange(cfg.partitions, "morton")
+                .sortWithinPartitions("morton")
+                .write.mode("overwrite")
+                .partitionBy("pbucket")
+                .parquet(self.points_path)
+            )
+            return {"rows": index.points.count()}
+
+        def _write_meta():
+            index.meta.write.mode("overwrite").parquet(self.meta_path)
+            return {"cells": index.meta.count()}
+
+        ckpt.run("write_points", _write_points)
+        ckpt.run("write_meta", _write_meta)
+        return self
+
+    def load(self, spark: SparkSession, persist: bool = False) -> SpatialIndex:
+        pts = spark.read.parquet(self.points_path).drop("pbucket")
+        meta = spark.read.parquet(self.meta_path)
+        if persist:
+            pts, meta = pts.persist(), meta.persist()
+        return SpatialIndex(points=pts, meta=meta, cfg=self.cfg)
+
+    def merge_insert_cow(self, spark: SparkSession, new_points: DataFrame, ckpt: Checkpoint | None = None) -> None:
+        """Copy-on-write insert: rewrite only the buckets the batch touches
+        (dynamic partition overwrite — the Iceberg MERGE copy-on-write
+        analog; untouched buckets' files are not rewritten). One lineage
+        marker per touched bucket -> a killed merge resumes bucket-wise."""
+        cfg = self.cfg
+        ckpt = ckpt or Checkpoint(os.path.join(self.path, "_lineage_merge"))
+        batch = _with_morton(new_points, cfg).withColumn(
+            "pbucket", cell_col(F.col("morton"), cfg.dims, self.bucket_level, cfg.grid_bits)
+        )
+        touched = [r["pbucket"] for r in batch.select("pbucket").distinct().collect()]
+        existing = spark.read.parquet(self.points_path)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for b in touched:
+            def _rewrite(b=b):
+                merged = existing.where(F.col("pbucket") == b).unionByName(
+                    batch.where(F.col("pbucket") == b).select(*existing.columns)
+                )
+                merged.sortWithinPartitions("morton").write.mode("overwrite").partitionBy("pbucket").parquet(
+                    self.points_path
+                )
+                return {"bucket": int(b)}
+
+            ckpt.run(f"merge_bucket_{b}", _rewrite)
+
+        def _refresh_meta():
+            pts = spark.read.parquet(self.points_path).drop("pbucket")
+            _meta_of(pts, cfg).write.mode("overwrite").parquet(self.meta_path)
+            return {}
+
+        ckpt.run("refresh_meta", _refresh_meta)
