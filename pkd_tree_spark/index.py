@@ -87,20 +87,15 @@ class SpatialIndex:
         return {"n_points": n_pts, "meta_sum": m["s"], "n_cells": m["cells"], "bbox_violations": viol}
 
 
-def _cell_bounds(cell: int, level: int, d: int, grid_bits: int) -> tuple[np.ndarray, np.ndarray]:
-    """Geometric [lo, hi) bounds (in coordinate units) of a level-`level` cell."""
-    g = morton_decode_np(np.array([cell], dtype=np.int64), d, bits=level)[0]
-    w = 1 << (grid_bits - level)
-    lo = g * w
-    return lo, lo + w - 1  # inclusive hi
-
-
 class _Region:
-    """Geometry predicates for cover_regions: classify a cell box."""
+    """Geometry predicates for cover_regions. ``classify_batch`` takes the
+    per-cell bounds arrays lo, hi of shape (m, d) and returns an (m,) int
+    array of DISJOINT/PARTIAL/CONTAINED — fully vectorized, the cover
+    descent never touches cells one by one."""
 
     DISJOINT, PARTIAL, CONTAINED = 0, 1, 2
 
-    def classify(self, lo: np.ndarray, hi: np.ndarray) -> int:  # pragma: no cover
+    def classify_batch(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:  # pragma: no cover
         raise NotImplementedError
 
 
@@ -109,12 +104,10 @@ class BoxRegion(_Region):
         self.qlo = np.asarray(qlo, dtype=np.int64)
         self.qhi = np.asarray(qhi, dtype=np.int64)
 
-    def classify(self, lo, hi):
-        if np.any(hi < self.qlo) or np.any(lo > self.qhi):
-            return self.DISJOINT
-        if np.all(lo >= self.qlo) and np.all(hi <= self.qhi):
-            return self.CONTAINED
-        return self.PARTIAL
+    def classify_batch(self, lo, hi):
+        disjoint = ((hi < self.qlo) | (lo > self.qhi)).any(axis=1)
+        contained = ((lo >= self.qlo) & (hi <= self.qhi)).all(axis=1)
+        return np.where(disjoint, self.DISJOINT, np.where(contained, self.CONTAINED, self.PARTIAL))
 
 
 class BallRegion(_Region):
@@ -125,43 +118,43 @@ class BallRegion(_Region):
         self.c = np.asarray(center, dtype=np.int64)
         self.r2 = int(r2)
 
-    def classify(self, lo, hi):
+    def classify_batch(self, lo, hi):
         nearest = np.clip(self.c, lo, hi)
-        dmin2 = int(np.sum((nearest - self.c) ** 2))
-        if dmin2 > self.r2:
-            return self.DISJOINT
+        dmin2 = ((nearest - self.c) ** 2).sum(axis=1)
         farthest = np.where(np.abs(lo - self.c) > np.abs(hi - self.c), lo, hi)
-        dmax2 = int(np.sum((farthest - self.c) ** 2))
-        if dmax2 <= self.r2:
-            return self.CONTAINED
-        return self.PARTIAL
+        dmax2 = ((farthest - self.c) ** 2).sum(axis=1)
+        return np.where(dmin2 > self.r2, self.DISJOINT, np.where(dmax2 <= self.r2, self.CONTAINED, self.PARTIAL))
 
 
 class ConvexPolygonRegion(_Region):
     """CCW convex polygon, d=2 only. Separating-axis classification."""
 
     def __init__(self, verts: np.ndarray):
-        self.v = np.asarray(verts, dtype=np.int64)  # (m, 2)
+        self.v = np.asarray(verts, dtype=np.int64)  # (e, 2)
         self.e = np.roll(self.v, -1, axis=0) - self.v  # edges
 
-    def _corners(self, lo, hi):
-        return np.array([[lo[0], lo[1]], [lo[0], hi[1]], [hi[0], lo[1]], [hi[0], hi[1]]], dtype=np.int64)
-
-    def classify(self, lo, hi):
-        corners = self._corners(lo, hi)
-        # cross((v1-v0),(p-v0)) per edge x corner
-        rel = corners[None, :, :] - self.v[:, None, :]
-        cross = self.e[:, None, 0] * rel[:, :, 1] - self.e[:, None, 1] * rel[:, :, 0]
-        if np.all(cross >= 0):
-            return self.CONTAINED
-        if np.any(np.all(cross < 0, axis=1)):  # box fully outside one edge
-            return self.DISJOINT
-        # polygon-box SAT on box axes
-        if np.all(self.v[:, 0] < lo[0]) or np.all(self.v[:, 0] > hi[0]):
-            return self.DISJOINT
-        if np.all(self.v[:, 1] < lo[1]) or np.all(self.v[:, 1] > hi[1]):
-            return self.DISJOINT
-        return self.PARTIAL
+    def classify_batch(self, lo, hi):
+        m = lo.shape[0]
+        # corners: (m, 4, 2)
+        corners = np.stack(
+            [
+                np.stack([lo[:, 0], lo[:, 1]], axis=1),
+                np.stack([lo[:, 0], hi[:, 1]], axis=1),
+                np.stack([hi[:, 0], lo[:, 1]], axis=1),
+                np.stack([hi[:, 0], hi[:, 1]], axis=1),
+            ],
+            axis=1,
+        )
+        # cross((v1-v0),(p-v0)): (e, m, 4)
+        rel = corners[None, :, :, :] - self.v[:, None, None, :]
+        cross = self.e[:, None, None, 0] * rel[:, :, :, 1] - self.e[:, None, None, 1] * rel[:, :, :, 0]
+        contained = (cross >= 0).all(axis=(0, 2))
+        disjoint = (cross < 0).all(axis=2).any(axis=0)  # box fully outside one edge
+        # polygon-box SAT on the box axes
+        vx, vy = self.v[:, 0], self.v[:, 1]
+        disjoint |= (vx[None, :] < lo[:, [0]]).all(axis=1) | (vx[None, :] > hi[:, [0]]).all(axis=1)
+        disjoint |= (vy[None, :] < lo[:, [1]]).all(axis=1) | (vy[None, :] > hi[:, [1]]).all(axis=1)
+        return np.where(disjoint, self.DISJOINT, np.where(contained, self.CONTAINED, self.PARTIAL))
 
 
 def cover_regions(
@@ -175,35 +168,56 @@ def cover_regions(
     pairwise disjoint per qid; ``interior`` cells are fully inside the
     region (answered from metadata counts alone — the `within_box ->
     T->size` shortcut, range_count.hpp:79-80), boundary cells need an exact
-    row filter. Quadtree descent with a budget: once the frontier would
-    exceed ``budget`` cells, remaining PARTIAL cells are emitted as
+    row filter. Level-synchronous quadtree descent, vectorized over the
+    whole frontier per query, with a budget: once the emitted+frontier size
+    would exceed ``budget`` cells, remaining PARTIAL cells are emitted as
     boundary at their current level (correct, just scans a few more rows).
+
+    At cluster scale with millions of queries this same function runs
+    inside mapInPandas over the query DataFrame (it is data-independent and
+    embarrassingly parallel per query); driver-side suffices for the
+    benchmark query counts.
     """
     d, L, gb = cfg.dims, cfg.index_level, cfg.grid_bits
-    rows = []
+    child_offsets = np.arange(1 << d, dtype=np.int64)
+    q_out, l_out, c_out, i_out = [], [], [], []
+
+    def emit(qid: int, level: int, cells: np.ndarray, interior: bool):
+        if cells.size == 0:
+            return
+        q_out.append(np.full(cells.size, qid, dtype=np.int64))
+        l_out.append(np.full(cells.size, level, dtype=np.int32))
+        c_out.append(cells)
+        i_out.append(np.full(cells.size, interior, dtype=bool))
+
     for qid, region in regions:
-        frontier = [(0, 0)]
-        out = []
-        while frontier:
-            nxt = []
-            for level, cell in frontier:
-                lo, hi = _cell_bounds(cell, level, d, gb)
-                cls = region.classify(lo, hi)
-                if cls == _Region.DISJOINT:
-                    continue
-                if cls == _Region.CONTAINED:
-                    out.append((qid, level, cell, True))
-                elif level >= L:
-                    out.append((qid, level, cell, False))
-                else:
-                    nxt.append((level + 1, cell << d))
-                    for i in range(1, 1 << d):
-                        nxt.append((level + 1, (cell << d) | i))
-            if len(out) + len(nxt) > budget:
-                out.extend((qid, lv, cl, False) for lv, cl in nxt)
-                nxt = []
-            frontier = nxt
-        rows.extend(out)
-    return pd.DataFrame(rows, columns=["qid", "level", "cell", "interior"]).astype(
-        {"qid": "int64", "level": "int32", "cell": "int64", "interior": "bool"}
+        cells = np.zeros(1, dtype=np.int64)  # the level-0 root cell
+        emitted = 0
+        for level in range(L + 1):
+            if cells.size == 0:
+                break
+            g = morton_decode_np(cells, d, bits=level) if level else np.zeros((1, d), dtype=np.int64)
+            w = 1 << (gb - level)
+            lo = g * w
+            hi = lo + (w - 1)
+            cls = region.classify_batch(lo, hi)
+            cont = cells[cls == _Region.CONTAINED]
+            emit(qid, level, cont, True)
+            emitted += cont.size
+            partial = cells[cls == _Region.PARTIAL]
+            if level == L or emitted + partial.size * (1 << d) > budget:
+                emit(qid, level, partial, False)
+                break
+            cells = ((partial[:, None] << d) | child_offsets[None, :]).reshape(-1)
+    if not q_out:
+        return pd.DataFrame(columns=["qid", "level", "cell", "interior"]).astype(
+            {"qid": "int64", "level": "int32", "cell": "int64", "interior": "bool"}
+        )
+    return pd.DataFrame(
+        {
+            "qid": np.concatenate(q_out),
+            "level": np.concatenate(l_out),
+            "cell": np.concatenate(c_out),
+            "interior": np.concatenate(i_out),
+        }
     )
