@@ -30,6 +30,11 @@ from pkd_tree_spark.ranges import (
     range_report_boxes,
 )
 from pkd_tree_spark.updates import merge_delete, merge_insert, sliding_window
+from pkd_tree_spark import oracle_pipeline as ORP
+from pkd_tree_spark.pipeline import dedup as DD
+from pkd_tree_spark.pipeline import similarity as SIM
+from pkd_tree_spark.pipeline import text as TX
+from pkd_tree_spark.pipeline.multimodal import decode_media_stub, media_spans, with_media_binary
 
 D = 2
 NQ_BOX, NQ_BALL, NQ_POLY, NQ_KNN, KNN_K = 64, 64, 32, 32, 10
@@ -125,6 +130,21 @@ def _q_sliding_window(dist: str):
     return fn
 
 
+# --- training-data pipeline callables (driver documents/embeddings tables) ---
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_documents(spark, sf_dir, dims=D, dist="uniform")
+    return decode_media_stub(with_media_binary(media_spans(docs)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rectangle range count over the Z-order index at sf0.001."""
     idx = _build(spark, "/root/testdata/sf0.001", "uniform")
@@ -147,6 +167,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_count_box_inserted": _q_count_box("uniform", state="inserted"),
         "spatial_range_count_box_updated": _q_count_box("uniform", state="updated"),
         "spatial_sliding_window_cells": _q_sliding_window("uniform"),
+        # training-data pipeline operators
+        "pipe_token_stats": lambda s, d_: TX.token_stats(_docs(s, d_)),
+        "pipe_lang_id": lambda s, d_: TX.lang_id(_docs(s, d_)),
+        "pipe_fingerprint": lambda s, d_: TX.fingerprint(_docs(s, d_)),
+        "pipe_exact_dup": lambda s, d_: DD.exact_dup_groups(_docs(s, d_)),
+        "pipe_ngram_jaccard": lambda s, d_: DD.ngram_jaccard_pairs(_docs(s, d_)),
+        "pipe_minhash_lsh": lambda s, d_: DD.minhash_lsh_pairs(_docs(s, d_)),
+        "pipe_simhash": lambda s, d_: DD.simhash(_docs(s, d_)),
+        "pipe_topk_dot": lambda s, d_: SIM.topk_dot(_emb(s, d_)),
+        "pipe_embedding_dup": lambda s, d_: DD.embedding_dup_pairs(_emb(s, d_)),
+        "pipe_ann_lsh": lambda s, d_: SIM.ann_lsh(_emb(s, d_)),  # approximate: rows-only check
+        "pipe_media_decode": _q_media_decode,
     }
 
 
@@ -166,4 +198,15 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range_count_box_inserted": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "inserted"),
         "spatial_range_count_box_updated": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "updated"),
         "spatial_sliding_window_cells": OR.sliding_window_cells_sql(WINDOW_LEVEL, WINDOW_LEN, D, "uniform"),
+        "pipe_token_stats": ORP.token_stats_sql(),
+        "pipe_lang_id": ORP.lang_id_sql(),
+        "pipe_fingerprint": ORP.fingerprint_sql(),
+        "pipe_exact_dup": ORP.exact_dup_sql(),
+        "pipe_ngram_jaccard": ORP.ngram_jaccard_sql(),
+        "pipe_minhash_lsh": ORP.minhash_lsh_sql(),
+        "pipe_simhash": ORP.simhash_sql(),
+        "pipe_topk_dot": ORP.topk_dot_sql(),
+        "pipe_embedding_dup": ORP.embedding_dup_sql(),
+        # pipe_ann_lsh intentionally has no oracle (approximate operator)
+        "pipe_media_decode": ORP.media_decode_sql(),
     }

@@ -1,0 +1,179 @@
+"""Deduplication operators over ``documents``:
+
+  exact          — hash-groupBy on content
+  n-gram Jaccard — token-trigram shingles, self-join, exact set Jaccard
+  MinHash + LSH  — shingle -> minhash signature -> banded bucket join
+  SimHash        — 16-bit sign-of-sum sketch over token hashes
+  embedding near-dup — exact integer cosine^2 threshold on quantized vectors
+
+Candidate generation is always an equi-join (shingle / band bucket /
+simhash), never a cross join — the property that survives 100x scale-up.
+All outputs are integers/strings; Jaccard and cosine thresholds are
+evaluated in exact integer arithmetic (decimal for the cosine cross-
+multiplication) so the DuckDB differential check is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import A1
+from .text import tokens_with_ids
+
+P31 = 2_147_483_647
+NUM_HASHES = 8
+BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
+TRIGRAM_JACCARD_PERMILLE = 200
+EMB_DUP_PERMILLE = 250  # |cos| >= 0.25
+
+
+def minhash_coeffs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for h_j(tid) = (tid*a_j + b_j) mod P31 —
+    shared with the SQL oracle."""
+    return [(((j + 1) * A1) % P31, (j * 40_503 + 12_345) % P31) for j in range(num_hashes)]
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group by content; (keeper, cnt) per distinct text.
+    keeper = min doc_id (the canonical row a dedup pass would keep)."""
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("cnt")
+    ).select("keeper", "cnt")
+
+
+def _trigrams(docs: DataFrame) -> DataFrame:
+    """Distinct token-trigram shingles per doc: trig = t1*10^6 + t2*10^3 + t3
+    (vocab ids are small). (doc_id, trig)."""
+    t = tokens_with_ids(docs)
+    t1 = t.alias("t1")
+    t2 = t.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("tid").alias("tid2")).alias("t2")
+    t3 = t.select("doc_id", (F.col("pos") - 2).alias("pos"), F.col("tid").alias("tid3")).alias("t3")
+    tri = (
+        t1.join(t2, ["doc_id", "pos"]).join(t3, ["doc_id", "pos"])
+        .select(
+            "doc_id",
+            (F.col("tid").cast("long") * 1_000_000 + F.col("tid2") * 1_000 + F.col("tid3")).alias("trig"),
+        )
+        .distinct()
+    )
+    return tri
+
+
+def ngram_jaccard_pairs(docs: DataFrame, permille: int = TRIGRAM_JACCARD_PERMILLE) -> DataFrame:
+    """Exact n-gram (trigram) Jaccard near-dup pairs:
+    (doc_a, doc_b, jac_permille) with doc_a < doc_b and
+    jac_permille = floor(1000 * |A∩B| / |A∪B|) >= permille.
+    Candidate pairs come from the shingle equi-join (docs sharing >= 1
+    trigram) — no cross join."""
+    tri = _trigrams(docs).persist()
+    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tri.select(F.col("doc_id").alias("doc_a"), "trig")
+    b = tri.select(F.col("doc_id").alias("doc_b"), "trig")
+    common = (
+        a.join(b, "trig")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = (F.col("common") * 1000 / (F.col("sza") + F.col("szb") - F.col("common"))).cast("long")
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac_permille"))
+        .where(F.col("jac_permille") >= permille)
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, mh0..mh{H-1}) — min over the doc's distinct trigram shingles
+    of (trig*a_j + b_j) mod P31."""
+    tri = _trigrams(docs)
+    aggs = [
+        F.min((F.col("trig") * F.lit(a) + F.lit(b)) % F.lit(P31)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return tri.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS) -> DataFrame:
+    """LSH candidate pairs: docs whose minhash signatures agree on all rows
+    of at least one band. (doc_a, doc_b), doc_a < doc_b, distinct.
+    The banded bucket join IS the scale path: one shuffle on (band, sig)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes)
+    bands_df = None
+    for bnd in range(bands):
+        # pack the band's row values into one int64: mh_i < P31 < 2^31
+        expr = F.lit(0).cast("long")
+        for r in range(rows):
+            expr = expr * F.lit(P31) + F.col(f"mh{bnd * rows + r}")
+        part = sig.select("doc_id", F.lit(bnd).alias("band"), expr.alias("sig"))
+        bands_df = part if bands_df is None else bands_df.unionByName(part)
+    a = bands_df.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands_df.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, sim) — bit i of ``sim`` is 1 iff the sum over the doc's
+    distinct token-ids of (2*bit_i(h(tid)) - 1) is > 0, with
+    h(tid) = (tid*A1 + 12345) mod P31."""
+    t = tokens_with_ids(docs).select("doc_id", "tid").distinct()
+    h = (F.col("tid") * F.lit(A1) + F.lit(12_345)) % F.lit(P31)
+    sums = t.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftrightunsigned(h, i) % 2 * 2 - 1).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sums.select("doc_id", sim.alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (quantized, exact)
+# ---------------------------------------------------------------------------
+
+def quantized_embeddings(emb: DataFrame, scale: int = 1000) -> DataFrame:
+    """(vec_id, qv array<long>, norm2 long): fixed-point quantization
+    qv_i = floor(double(e_i) * scale) — float32 -> double widening and the
+    multiply are IEEE-deterministic, so both engines get identical ints
+    (the comparator.h quantization discipline applied to vectors)."""
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * scale).cast("long"))
+    out = emb.select("vec_id", qv.alias("qv"))
+    norm2 = F.aggregate(F.zip_with("qv", "qv", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return out.select("vec_id", "qv", norm2.alias("norm2"))
+
+
+def embedding_dup_pairs(emb: DataFrame, permille: int = EMB_DUP_PERMILLE) -> DataFrame:
+    """Near-duplicate vector pairs by exact integer cosine^2 test:
+    (1000*dot)^2 >= permille^2 * na * nb, dot > 0 — evaluated in decimal so
+    the cross-multiplication never overflows. (vec_a, vec_b, dot).
+
+    Brute-force O(n^2) candidate pair join — the correctness baseline; the
+    scale path is similarity.ann_lsh's bucketed variant."""
+    q = quantized_embeddings(emb)
+    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), F.col("norm2").alias("na"))
+    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"), F.col("norm2").alias("nb"))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    dec = "decimal(38,0)"
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", dot)
+        .where(F.col("dot") > 0)
+        .where(
+            (F.col("dot").cast(dec) * F.col("dot").cast(dec) * F.lit(1_000_000).cast(dec))
+            >= (F.lit(permille * permille).cast(dec) * F.col("na").cast(dec) * F.col("nb").cast(dec))
+        )
+    )
+    return pairs.select("vec_a", "vec_b", "dot")

@@ -1,0 +1,88 @@
+"""Text analysis over the ``documents`` table: tokenization, vocabulary,
+token stats / quality scoring, language-ID heuristic, fingerprinting.
+
+All JVM-side DataFrame ops (split/posexplode/broadcast joins/window); no
+Python in the row path. Every output column is integer or string so the
+DuckDB oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import A1, A2
+
+P31 = 2_147_483_647
+STOPWORDS = ("the", "a")  # of the testdata's 31-token vocabulary
+LANG_PERMILLE = 30
+
+__all__ = ["tokens", "vocab", "token_stats", "lang_id", "fingerprint", "P31", "STOPWORDS", "LANG_PERMILLE"]
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) — pos 1-based (matches SQL WITH ORDINALITY)."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+def vocab(docs: DataFrame) -> DataFrame:
+    """(tok, tid) with tid = 1-based rank of the token in sorted order —
+    a deterministic integer id both engines derive identically."""
+    w = Window.orderBy("tok")
+    return tokens(docs).select("tok").distinct().withColumn("tid", F.row_number().over(w))
+
+
+def tokens_with_ids(docs: DataFrame) -> DataFrame:
+    return tokens(docs).join(F.broadcast(vocab(docs)), "tok").select("doc_id", "pos", "tid")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Quality-scoring signals, all integers:
+    (doc_id, n_tokens, n_chars, n_distinct, distinct_permille, avg_len_x100)."""
+    t = tokens(docs)
+    agg = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.length("tok")).alias("tok_chars"),
+    )
+    return (
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(agg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars",
+            "n_distinct",
+            (F.col("n_distinct") * 1000 / F.col("n_tokens")).cast("long").alias("distinct_permille"),
+            (F.col("tok_chars") * 100 / F.col("n_tokens")).cast("long").alias("avg_len_x100"),
+        )
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language-ID: stopword hit-rate in permille; >= threshold ->
+    'en' else 'unk'. (doc_id, stop_permille, pred_lang)."""
+    t = tokens(docs)
+    agg = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)).alias("stop"),
+    )
+    return agg.select(
+        "doc_id",
+        (F.col("stop") * 1000 / F.col("n")).cast("long").alias("stop_permille"),
+        F.when((F.col("stop") * 1000 / F.col("n")).cast("long") >= LANG_PERMILLE, F.lit("en"))
+        .otherwise(F.lit("unk"))
+        .alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling document fingerprint:
+    fp = sum over positions of (tid+1) * ((pos*A2) mod P31) mod P31, all
+    mod P31. The multiplicative (token x position) coupling makes it
+    permutation-sensitive, unlike a bag-of-words hash. (doc_id, fp)."""
+    t = tokens_with_ids(docs)
+    term = ((F.col("tid") + 1) * (F.col("pos") * F.lit(A2) % F.lit(P31))) % F.lit(P31)
+    return t.groupBy("doc_id").agg((F.sum(term) % F.lit(P31)).alias("fp"))
