@@ -165,7 +165,7 @@ def _finalize_counts(queries_df: DataFrame, branches: list[DataFrame | None]) ->
     agg = u.groupBy("qid").agg(F.sum("cnt").alias("cnt"))
     return (
         queries_df.select("qid")
-        .join(agg, "qid", "left")
+        .join(F.broadcast(agg), "qid", "left")  # agg is <= one row per query
         .select("qid", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
     )
 

@@ -62,10 +62,27 @@ def morton_decode_np(keys: np.ndarray, d: int, bits: int = GRID_BITS) -> np.ndar
 def morton_col(cols: list[Column], d: int, bits: int = GRID_BITS) -> Column:
     """Morton key as a Spark Column from d integer coordinate columns.
 
-    Implemented as an Arrow-batched pandas UDF over numpy (the encode is
-    bit-twiddling Spark SQL can't vectorize natively); everything downstream
-    (range partition, prefix shifts, joins) stays JVM-side.
-    """
+    Pure JVM expression — a sum of d*bits disjoint single-bit terms
+    ((x_j >> b & 1) << (b*d + d-1-j)) that whole-stage codegen fuses into
+    one generated function. Keeping the encode JVM-side removes the only
+    Python/Arrow hop from the index-build path (the scan -> encode ->
+    range-partition pipeline is then a single codegen stage up to the
+    exchange). The numpy twin (morton_encode_np) is used driver-side for
+    covers/rings and is property-tested for equality against this."""
+    term0 = None
+    out: Column | None = None
+    for j, c in enumerate(cols):
+        lc = c.cast("long")
+        for b in range(bits):
+            dst = b * d + (d - 1 - j)
+            t = F.shiftleft(F.shiftrightunsigned(lc, b).bitwiseAND(F.lit(1)), dst)
+            out = t if out is None else out + t
+    return out
+
+
+def morton_col_pandas(cols: list[Column], d: int, bits: int = GRID_BITS) -> Column:
+    """Arrow-batched pandas-UDF variant of morton_col (kept for parity
+    testing and as the template for UDF-based encodes)."""
 
     @F.pandas_udf(LongType())
     def _enc(*series: pd.Series) -> pd.Series:

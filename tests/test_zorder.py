@@ -37,6 +37,28 @@ def test_prefix_is_cell():
         assert np.array_equal(cells, gcells)
 
 
+def test_jvm_expr_matches_numpy(spark):
+    """morton_col (pure JVM expression) must agree row-wise with the numpy
+    encoder used driver-side for covers and rings."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pkd_tree_spark.zorder import morton_col
+
+    rng = np.random.default_rng(11)
+    for d in (2, 3):
+        pts = rng.integers(0, 1 << 20, size=(2000, d))
+        pdf = pd.DataFrame(pts, columns=[f"x{j}" for j in range(d)])
+        pdf["rid"] = np.arange(len(pdf))
+        got = (
+            spark.createDataFrame(pdf)
+            .select("rid", morton_col([F.col(f"x{j}") for j in range(d)], d).alias("m"))
+            .toPandas()
+            .sort_values("rid")["m"]
+            .to_numpy()
+        )
+        assert np.array_equal(got, morton_encode_np(pts, bits=20))
+
+
 def test_monotone_within_cell():
     """All points of a cell form one contiguous Morton range (what makes
     range-partition pruning correct)."""
