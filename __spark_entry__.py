@@ -43,10 +43,35 @@ WINDOW_LEVEL = 4
 WINDOW_LEN = 5
 
 _CFG = EngineConfig(dims=D, index_level=6, knn_level=5, partitions=32)
+_CFG3 = EngineConfig(dims=3, index_level=4, knn_level=3, partitions=32)
 
 
-def _build(spark: SparkSession, sf_dir: str, dist: str) -> SpatialIndex:
-    return SpatialIndex.build(load_points(spark, sf_dir, dims=D, dist=dist), _CFG)
+def _build(spark: SparkSession, sf_dir: str, dist: str, dims: int = D) -> SpatialIndex:
+    cfg = _CFG if dims == 2 else _CFG3
+    return SpatialIndex.build(load_points(spark, sf_dir, dims=dims, dist=dist), cfg)
+
+
+def _q_count_box_d3(dist: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return range_count_boxes(_build(spark, sf_dir, dist, dims=3), FX.box_fixtures(NQ_BOX, 3))
+    return fn
+
+
+def _q_knn_d3(dist: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _build(spark, sf_dir, dist, dims=3)
+        n = idx.points.count()
+        res = knn(idx, FX.knn_fixtures(NQ_KNN, 3), k=KNN_K, level=auto_knn_level(n, 3))
+        return res.select("qid", "rn", "key", "dist2")
+    return fn
+
+
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 analog: kNN-graph edges of a 1% key-sample against the index."""
+    from pkd_tree_spark.knn import knn_join
+
+    idx = _build(spark, sf_dir, "uniform")
+    return knn_join(idx, k=5).select("qid", "rn", F.col("key").alias("dst"), "dist2")
 
 
 def _insert_batch(spark: SparkSession, sf_dir: str, dist: str) -> DataFrame:
@@ -167,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_count_box_inserted": _q_count_box("uniform", state="inserted"),
         "spatial_range_count_box_updated": _q_count_box("uniform", state="updated"),
         "spatial_sliding_window_cells": _q_sliding_window("uniform"),
+        "spatial_range_count_box_d3": _q_count_box_d3("uniform"),
+        "spatial_knn_d3": _q_knn_d3("uniform"),
+        "spatial_knn_graph": _q_knn_graph,
         # training-data pipeline operators
         "pipe_token_stats": lambda s, d_: TX.token_stats(_docs(s, d_)),
         "pipe_lang_id": lambda s, d_: TX.lang_id(_docs(s, d_)),
@@ -198,6 +226,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range_count_box_inserted": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "inserted"),
         "spatial_range_count_box_updated": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "updated"),
         "spatial_sliding_window_cells": OR.sliding_window_cells_sql(WINDOW_LEVEL, WINDOW_LEN, D, "uniform"),
+        "spatial_range_count_box_d3": OR.range_count_box_sql(NQ_BOX, 3, "uniform"),
+        "spatial_knn_d3": OR.knn_sql(NQ_KNN, KNN_K, 3, "uniform"),
+        "spatial_knn_graph": OR.knn_graph_sql(5, D, "uniform"),
         "pipe_token_stats": ORP.token_stats_sql(),
         "pipe_lang_id": ORP.lang_id_sql(),
         "pipe_fingerprint": ORP.fingerprint_sql(),

@@ -24,6 +24,11 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Deterministic input replication: key' = key + replica*1e8 keeps coordinate
+# derivation intact while multiplying n. The per-round bench uses 1; the
+# --scaling study uses 16 (~10M points) so each core has real work — a
+# scaling test at 600k rows measures scheduler overhead, not the engine.
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
 
 
 def run_suite() -> dict:
@@ -56,10 +61,19 @@ def run_suite() -> dict:
     # warm the JVM/session so build timings don't pay first-job setup
     spark.range(1000).count()
 
+    keys_df = None
+    if REPLICATE > 1:
+        from pkd_tree_spark.documents import doc_key_col
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        keys_df = li.select(doc_key_col().alias("k")).crossJoin(
+            spark.range(REPLICATE).select(F.col("id").alias("rep"))
+        ).select((F.col("k") + F.col("rep") * F.lit(100_000_000)).alias("k"))
+
     idx = {}
     n_points = 0
     for dist in ("uniform", "varden"):
-        pts = load_points(spark, SF_DIR, dims=2, dist=dist)
+        pts = load_points(spark, SF_DIR, dims=2, dist=dist, keys_df=keys_df)
         cfg = EngineConfig(dims=2, index_level=7, knn_level=6, partitions=CPUS)
 
         def _build(pts=pts, cfg=cfg):
@@ -118,6 +132,7 @@ def run_suite() -> dict:
         "sf": float(sf),
         "n_points": int(n_points),
         "cpus": CPUS,
+        "replicate": REPLICATE,
         "throughput": thr,
     }
 
@@ -126,8 +141,11 @@ def run_scaling(base: int = 8, mult: int = 4) -> dict:
     """Same job at local[base] and local[base*mult]; efficiency =
     (T_base / T_big) / mult per headline query (>=0.8 target)."""
     results = {}
+    rep = os.environ.get("SPARK_GRAFT_REPLICATE", "16")
     for c in (base, base * mult):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(c), SPARK_GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ, SPARK_GRAFT_CPUS=str(c), SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_REPLICATE=rep
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
         )

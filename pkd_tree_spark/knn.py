@@ -62,39 +62,42 @@ def _density_levels(
 ) -> np.ndarray:
     """Per-query grid level from a density ladder.
 
-    One Spark aggregation computes the fine-level histogram; parents are
-    rolled up in numpy (sum of 2^d children — a dict over non-empty cells).
-    Each query descends from level_floor while its 3^d-neighborhood
-    estimate at the current level still exceeds ``target`` candidates.
+    Iterative descent: at each ladder level, ONE aggregation of the cached
+    points restricted (broadcast semi-join) to the distinct home cells of
+    the queries still deepening — so every collect is <= n_queries rows no
+    matter how large the table is, and queries outside hot regions stop at
+    the first level. This is the kd-tree's density-adaptive depth recovered
+    with O(ladder) cheap scans instead of a global fine histogram (which
+    would be O(n) rows to collect at scale).
     """
     d, gb = index.cfg.dims, index.cfg.grid_bits
-    fine = (
-        index.points.groupBy(F.shiftrightunsigned("morton", d * (gb - level_cap)).alias("c"))
-        .count()
-        .toPandas()
-    )
-    counts: dict[int, dict[int, int]] = {level_cap: dict(zip(fine["c"].astype(np.int64), fine["count"]))}
-    for lvl in range(level_cap - 1, level_floor - 1, -1):
-        child = counts[lvl + 1]
-        parent: dict[int, int] = {}
-        for c, n in child.items():
-            p = c >> d
-            parent[p] = parent.get(p, 0) + n
-        counts[lvl] = parent
-
+    spark = index.points.sparkSession
     q = np.stack([queries[f"q{j}"].to_numpy(dtype=np.int64) for j in range(d)], axis=1)
     levels = np.full(len(queries), level_floor, dtype=np.int64)
+    active = np.ones(len(queries), dtype=bool)
     thresh = max(target, 3 * k)
     for lvl in range(level_floor, level_cap):
-        cells = morton_encode_np(q >> (gb - lvl), bits=lvl)
-        tab = counts[lvl]
+        cells = morton_encode_np(q[active] >> (gb - lvl), bits=lvl)
+        qcells = pd.DataFrame({"c": np.unique(cells)})
+        hist = (
+            index.points.withColumn("c", F.shiftrightunsigned("morton", d * (gb - lvl)))
+            .join(F.broadcast(spark.createDataFrame(qcells)), "c")
+            .groupBy("c")
+            .count()
+            .toPandas()
+        )
+        tab = dict(zip(hist["c"].astype(np.int64), hist["count"]))
         home = np.array([tab.get(int(c), 0) for c in cells], dtype=np.int64)
         # 3^d-neighborhood estimate: home-cell count * 3^d (upper-bounds the
         # block under local uniformity; conservative in cluster cores)
-        deepen = (home * (3**d) > thresh) & (levels == lvl)
-        if not deepen.any():
+        deepen = home * (3**d) > thresh
+        idx_active = np.flatnonzero(active)
+        levels[idx_active[deepen]] = lvl + 1
+        new_active = np.zeros_like(active)
+        new_active[idx_active[deepen]] = True
+        active = new_active
+        if not active.any():
             break
-        levels[deepen] = lvl + 1
     return levels
 
 

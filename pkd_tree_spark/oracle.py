@@ -151,6 +151,22 @@ def knn_sql(nq: int, k: int, d: int = 2, dist: str = "uniform", state: str = "ba
     )
 
 
+def knn_graph_sql(k: int, d: int = 2, dist: str = "uniform", mod: int = 100, val: int = 3) -> str:
+    """kNN-graph oracle: queries = the distinct key-sample of the points
+    themselves (self included at dist 0, as in the engine)."""
+    dist2 = " + ".join(f"(p.x{j} - q.q{j}) * (p.x{j} - q.q{j})" for j in range(d))
+    qcols = ", ".join(f"x{j} AS q{j}" for j in range(d))
+    return (
+        f"WITH {pts_cte(dist, d)}, "
+        f"q AS (SELECT DISTINCT key AS qid, {qcols} FROM pts WHERE key % {mod} = {val}) "
+        f"SELECT qid, rn, dst, dist2 FROM ("
+        f"  SELECT qid, dst, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, dst, span_idx) AS rn "
+        f"  FROM (SELECT q.qid AS qid, p.key AS dst, CAST({dist2} AS BIGINT) AS dist2, p.span_idx AS span_idx "
+        f"        FROM q CROSS JOIN pts p) raw) ranked "
+        f"WHERE rn <= {k}"
+    )
+
+
 def cells_sql(level: int, d: int = 2, dist: str = "uniform") -> str:
     """Per-grid-cell counts at `level` (axis-aligned grid coords, not Morton
     — bit interleaving is checked by the numpy unit tests instead)."""
