@@ -44,16 +44,17 @@ WINDOW_LEN = 5
 
 _CFG = EngineConfig(dims=D, index_level=6, knn_level=5, partitions=32)
 _CFG3 = EngineConfig(dims=3, index_level=4, knn_level=3, partitions=32)
+_CFG5 = EngineConfig(dims=5, index_level=3, knn_level=2, partitions=32)
 
 
 def _build(spark: SparkSession, sf_dir: str, dist: str, dims: int = D) -> SpatialIndex:
-    cfg = _CFG if dims == 2 else _CFG3
+    cfg = {2: _CFG, 3: _CFG3, 5: _CFG5}[dims]
     return SpatialIndex.build(load_points(spark, sf_dir, dims=dims, dist=dist), cfg)
 
 
-def _q_count_box_d3(dist: str):
+def _q_count_box_dn(dist: str, dims: int):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return range_count_boxes(_build(spark, sf_dir, dist, dims=3), FX.box_fixtures(NQ_BOX, 3))
+        return range_count_boxes(_build(spark, sf_dir, dist, dims=dims), FX.box_fixtures(NQ_BOX, dims))
     return fn
 
 
@@ -192,7 +193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_count_box_inserted": _q_count_box("uniform", state="inserted"),
         "spatial_range_count_box_updated": _q_count_box("uniform", state="updated"),
         "spatial_sliding_window_cells": _q_sliding_window("uniform"),
-        "spatial_range_count_box_d3": _q_count_box_d3("uniform"),
+        "spatial_range_count_box_d3": _q_count_box_dn("uniform", 3),
+        "spatial_range_count_box_d5": _q_count_box_dn("uniform", 5),
         "spatial_knn_d3": _q_knn_d3("uniform"),
         "spatial_knn_graph": _q_knn_graph,
         # training-data pipeline operators
@@ -227,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range_count_box_updated": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "updated"),
         "spatial_sliding_window_cells": OR.sliding_window_cells_sql(WINDOW_LEVEL, WINDOW_LEN, D, "uniform"),
         "spatial_range_count_box_d3": OR.range_count_box_sql(NQ_BOX, 3, "uniform"),
+        "spatial_range_count_box_d5": OR.range_count_box_sql(NQ_BOX, 5, "uniform"),
         "spatial_knn_d3": OR.knn_sql(NQ_KNN, KNN_K, 3, "uniform"),
         "spatial_knn_graph": OR.knn_graph_sql(5, D, "uniform"),
         "pipe_token_stats": ORP.token_stats_sql(),

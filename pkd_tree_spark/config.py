@@ -38,6 +38,11 @@ VARDEN_SIGMA_BASE = 50
 VARDEN_SIGMA_MOD = 20_000
 
 GRID_BITS = 20  # 2^20 = 1_048_576 > COORD_BOUND: every coord fits in GRID_BITS
+COORD_BITS = 20  # geometric resolution of the coordinate domain
+
+# extra per-dim multipliers/offsets for d > 3
+A4, A5 = 2_484_345_967, 3_323_987_519
+B4, B5 = 424_243, 737_373
 
 
 @dataclass(frozen=True)
@@ -68,14 +73,27 @@ class EngineConfig:
     partitions: int = 32
     leaf_target: int = 4096
     imbalance_ratio: int = 30
-    grid_bits: int = GRID_BITS
+    grid_bits: int = 0  # Morton key bits per dim; 0 -> min(coord_bits, 63//dims)
+    coord_bits: int = COORD_BITS  # geometric resolution (coords < 2^coord_bits)
+
+    def __post_init__(self):
+        if self.grid_bits == 0:
+            object.__setattr__(self, "grid_bits", min(self.coord_bits, 63 // self.dims))
+        assert self.grid_bits * self.dims <= 63
+        assert self.index_level <= self.grid_bits and self.knn_level <= self.grid_bits
+
+    @property
+    def coord_shift(self) -> int:
+        """Right-shift turning a coordinate into its grid coordinate."""
+        return self.coord_bits - self.grid_bits
 
     @property
     def cell_width(self) -> int:
-        return 1 << (self.grid_bits - self.index_level)
+        return 1 << (self.coord_bits - self.index_level)
 
     def width_at(self, level: int) -> int:
-        return 1 << (self.grid_bits - level)
+        """Cell side length in coordinate units at a grid level."""
+        return 1 << (self.coord_bits - level)
 
 
 DEFAULT_CONFIG = EngineConfig()

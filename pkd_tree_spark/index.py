@@ -49,7 +49,8 @@ class SpatialIndex:
     def build(cls, points_df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, persist: bool = True) -> "SpatialIndex":
         d = cfg.dims
         xcols = [f"x{j}" for j in range(d)]
-        pts = points_df.withColumn("morton", morton_col([F.col(c) for c in xcols], d, cfg.grid_bits))
+        gcols = [F.shiftrightunsigned(F.col(c), cfg.coord_shift) for c in xcols]
+        pts = points_df.withColumn("morton", morton_col(gcols, d, cfg.grid_bits))
         # The one index-build shuffle (reference: the counting-sort partition,
         # build_tree.hpp:83-121). Range partitioning keeps cells contiguous
         # per partition -> parquet min/max stats on morton give file skipping.
@@ -83,7 +84,7 @@ class SpatialIndex:
             for j in range(d):
                 mn = np.array([r[f"mn{j}"] for r in mrows])
                 mx = np.array([r[f"mx{j}"] for r in mrows])
-                viol += int(np.sum((mn < gcoords[:, j] * w) | (mx >= (gcoords[:, j] + 1) * w)))
+                viol += int(np.sum((mn < gcoords[:, j] * w) | (mx > (gcoords[:, j] + 1) * w - 1)))
         return {"n_points": n_pts, "meta_sum": m["s"], "n_cells": m["cells"], "bbox_violations": viol}
 
 
@@ -178,7 +179,7 @@ def cover_regions(
     embarrassingly parallel per query); driver-side suffices for the
     benchmark query counts.
     """
-    d, L, gb = cfg.dims, cfg.index_level, cfg.grid_bits
+    d, L, cb = cfg.dims, cfg.index_level, cfg.coord_bits
     child_offsets = np.arange(1 << d, dtype=np.int64)
     q_out, l_out, c_out, i_out = [], [], [], []
 
@@ -197,7 +198,7 @@ def cover_regions(
             if cells.size == 0:
                 break
             g = morton_decode_np(cells, d, bits=level) if level else np.zeros((1, d), dtype=np.int64)
-            w = 1 << (gb - level)
+            w = 1 << (cb - level)
             lo = g * w
             hi = lo + (w - 1)
             cls = region.classify_batch(lo, hi)

@@ -70,17 +70,17 @@ def _density_levels(
     with O(ladder) cheap scans instead of a global fine histogram (which
     would be O(n) rows to collect at scale).
     """
-    d, gb = index.cfg.dims, index.cfg.grid_bits
+    d, kb, cb = index.cfg.dims, index.cfg.grid_bits, index.cfg.coord_bits
     spark = index.points.sparkSession
     q = np.stack([queries[f"q{j}"].to_numpy(dtype=np.int64) for j in range(d)], axis=1)
     levels = np.full(len(queries), level_floor, dtype=np.int64)
     active = np.ones(len(queries), dtype=bool)
     thresh = max(target, 3 * k)
     for lvl in range(level_floor, level_cap):
-        cells = morton_encode_np(q[active] >> (gb - lvl), bits=lvl)
+        cells = morton_encode_np(q[active] >> (cb - lvl), bits=lvl)
         qcells = pd.DataFrame({"c": np.unique(cells)})
         hist = (
-            index.points.withColumn("c", F.shiftrightunsigned("morton", d * (gb - lvl)))
+            index.points.withColumn("c", F.shiftrightunsigned("morton", d * (kb - lvl)))
             .join(F.broadcast(spark.createDataFrame(qcells)), "c")
             .groupBy("c")
             .count()
@@ -101,14 +101,14 @@ def _density_levels(
     return levels
 
 
-def _candidate_cells(qpd: pd.DataFrame, d: int, grid_bits: int) -> pd.DataFrame:
+def _candidate_cells(qpd: pd.DataFrame, d: int, coord_bits: int) -> pd.DataFrame:
     """(qid, level, cell) for all cells within each query's Chebyshev radius
     ``r`` at its grid ``level``. Vectorized per (level, r) group; clipped to
     the grid and deduplicated."""
     frames = []
     for (level, r), grp in qpd.groupby(["level", "r"]):
         level, r = int(level), int(r)
-        w_shift = grid_bits - level
+        w_shift = coord_bits - level
         gmax = (1 << level) - 1
         g = np.stack([grp[f"q{j}"].to_numpy(dtype=np.int64) >> w_shift for j in range(d)], axis=1)
         rng = np.arange(-r, r + 1)
@@ -145,13 +145,14 @@ def knn(
     """
     spark = index.points.sparkSession
     cfg: EngineConfig = index.cfg
-    d, gb = cfg.dims, cfg.grid_bits
+    d, kb, cb = cfg.dims, cfg.grid_bits, cfg.coord_bits
 
     if level is None:
         level = cfg.knn_level
+    level = min(level, kb)
     pend = queries.copy()
     if adaptive:
-        cap = min(gb, level + 10)
+        cap = min(kb, level + 10)
         pend["level"] = _density_levels(index, pend, k, level, cap, target_candidates)
     else:
         pend["level"] = level
@@ -168,12 +169,12 @@ def knn(
     for _ in range(max_rounds):
         if pend.empty:
             break
-        cand_cells = _candidate_cells(pend, d, gb)
+        cand_cells = _candidate_cells(pend, d, cb)
         qdf = F.broadcast(spark.createDataFrame(pend[["qid"] + qcols]))
         branches = []
         for lvl, grp in cand_cells.groupby("level"):
             cells_df = F.broadcast(spark.createDataFrame(grp[["qid", "cell"]]))
-            p = index.points.withColumn("pcell", F.shiftrightunsigned("morton", d * (gb - int(lvl))))
+            p = index.points.withColumn("pcell", F.shiftrightunsigned("morton", d * (kb - int(lvl))))
             branches.append(p.join(cells_df, p.pcell == cells_df.cell))
         cand = branches[0]
         for b in branches[1:]:
@@ -204,7 +205,7 @@ def knn(
             .set_index("qid")
         )
 
-        w_arr = (1 << (gb - pend["level"].to_numpy())).astype(np.int64)
+        w_arr = (1 << (cb - pend["level"].to_numpy())).astype(np.int64)
         r_arr = pend["r"].to_numpy()
         covered_all = (2 * r_arr + 1) >= 2 * (1 << pend["level"].to_numpy())
         st = stats.reindex(pend["qid"])

@@ -18,8 +18,8 @@ from . import config as C
 from . import fixtures as FX
 
 M = C.COORD_BOUND
-_MULTS = (C.A1, C.A2, C.A3)
-_ADDS = (C.B1, C.B2, C.B3)
+_MULTS = (C.A1, C.A2, C.A3, C.A4, C.A5)
+_ADDS = (C.B1, C.B2, C.B3, C.B4, C.B5)
 
 
 def _coord_sql(kexpr: str, j: int, dist: str) -> str:

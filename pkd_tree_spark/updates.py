@@ -51,8 +51,8 @@ __all__ = [
 
 
 def _with_morton(points_df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    xcols = [F.col(f"x{j}") for j in range(cfg.dims)]
-    return points_df.withColumn("morton", morton_col(xcols, cfg.dims, cfg.grid_bits))
+    gcols = [F.shiftrightunsigned(F.col(f"x{j}"), cfg.coord_shift) for j in range(cfg.dims)]
+    return points_df.withColumn("morton", morton_col(gcols, cfg.dims, cfg.grid_bits))
 
 
 def _meta_of(points: DataFrame, cfg: EngineConfig) -> DataFrame:
