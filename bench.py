@@ -66,9 +66,14 @@ def run_suite() -> dict:
         from pkd_tree_spark.documents import doc_key_col
 
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-        keys_df = li.select(doc_key_col().alias("k")).crossJoin(
-            spark.range(REPLICATE).select(F.col("id").alias("rep"))
-        ).select((F.col("k") + F.col("rep") * F.lit(100_000_000)).alias("k"))
+        # stream the many-split range side, broadcast the small key list, so
+        # replica generation is parallel (the parquet is a single split)
+        keys_df = (
+            spark.range(0, REPLICATE, 1, CPUS)
+            .select(F.col("id").alias("rep"))
+            .crossJoin(F.broadcast(li.select(doc_key_col().alias("k"))))
+            .select((F.col("k") + F.col("rep") * F.lit(100_000_000)).alias("k"))
+        )
 
     idx = {}
     n_points = 0
@@ -103,8 +108,10 @@ def run_suite() -> dict:
             items=len(qpd),
         )
 
-        # range count: 1000 mixed-selectivity boxes
-        boxes = FX.box_fixtures(1000, 2)
+        # range count: mixed-selectivity boxes (reference summary uses 10^4;
+        # scaled-up input uses more boxes so parallel scan work dominates)
+        boxes_n = int(os.environ.get("SPARK_GRAFT_RANGE_BOXES", "2000" if REPLICATE > 1 else "1000"))
+        boxes = FX.box_fixtures(boxes_n, 2)
         timed(
             f"range_count_{dist}",
             lambda ix=ix, boxes=boxes: range_count_boxes(ix, boxes).groupBy().agg(F.sum("cnt")).collect(),

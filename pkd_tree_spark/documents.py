@@ -99,6 +99,12 @@ def synth_documents(
         keys_df = li.select(doc_key_col().alias("k"))
     else:
         keys_df = keys_df.select(F.col("k").cast("long").alias("k"))
+    # The testdata tables are single parquet files -> one input split, which
+    # would serialize the whole span-synthesis + extraction + encode stage.
+    # An early round-robin shuffle of the bare 8-byte keys is nearly free
+    # and unlocks full parallelism upstream of the index shuffle. (At real
+    # scale the source table has thousands of splits and this is a no-op.)
+    keys_df = keys_df.repartition(spark.sparkContext.defaultParallelism)
 
     k = F.col("k")
     coords = _coord_cols(k, dims, dist)
@@ -138,9 +144,15 @@ def extract_points(docs: DataFrame, dims: int = 2) -> DataFrame:
     (doc_id, span_idx, key, x0..x{d-1}) — (doc_id, span_idx) is the PointID
     analog (include/cpdd/basic_point.h:87-162).
     """
+    # posexplode_outer, not posexplode: the non-outer Generate lets Catalyst
+    # infer a `size(spans) > 0` filter (InferFiltersFromGenerate) and push
+    # the whole span-construction expression below the repartition exchange,
+    # serializing it into the single-split source stage AND evaluating the
+    # array twice. Outer explode is semantically identical here (every doc
+    # has >= 1 span) and keeps the heavy projection in the parallel stage.
     exploded = docs.select(
         "doc_id",
-        F.posexplode("spans").alias("span_idx", "span"),
+        F.posexplode_outer("spans").alias("span_idx", "span"),
     ).where(F.col("span.kind") == "geo")
     parts = F.split(F.col("span.text"), " ")
     cols = [F.element_at(parts, j + 1).cast("long").alias(f"x{j}") for j in range(dims)]

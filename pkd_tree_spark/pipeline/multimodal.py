@@ -35,7 +35,7 @@ DECODE_SCHEMA = T.StructType(
 def media_spans(docs: DataFrame) -> DataFrame:
     """Explode kind='media' spans: (doc_id, span_idx, media_ref)."""
     return (
-        docs.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+        docs.select("doc_id", F.posexplode_outer("spans").alias("span_idx", "span"))
         .where(F.col("span.kind") == "media")
         .select("doc_id", F.col("span_idx").cast("int").alias("span_idx"), F.col("span.media_ref").alias("media_ref"))
     )
