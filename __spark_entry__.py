@@ -67,6 +67,25 @@ def _q_knn_d3(dist: str):
     return fn
 
 
+def _q_raster_to_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pkd_tree_spark.raster import rasterize, raster_to_vector
+
+    idx = _build(spark, sf_dir, "uniform")
+    return raster_to_vector(rasterize(idx, CELL_LEVEL), CELL_LEVEL, threshold=2, cfg=idx.cfg)
+
+
+def _q_vector_to_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pkd_tree_spark.raster import vector_to_raster
+
+    return vector_to_raster(spark, FX.diamond_fixtures(NQ_POLY), CELL_LEVEL, _CFG)
+
+
+def _q_tile_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pkd_tree_spark.raster import tile_assignments
+
+    return tile_assignments(_build(spark, sf_dir, "uniform"), CELL_LEVEL)
+
+
 def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 analog: kNN-graph edges of a 1% key-sample against the index."""
     from pkd_tree_spark.knn import knn_join
@@ -197,6 +216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_count_box_d5": _q_count_box_dn("uniform", 5),
         "spatial_knn_d3": _q_knn_d3("uniform"),
         "spatial_knn_graph": _q_knn_graph,
+        "spatial_raster_to_vector": _q_raster_to_vector,
+        "spatial_vector_to_raster": _q_vector_to_raster,
+        "spatial_tile_assignments": _q_tile_assignments,
         # training-data pipeline operators
         "pipe_token_stats": lambda s, d_: TX.token_stats(_docs(s, d_)),
         "pipe_lang_id": lambda s, d_: TX.lang_id(_docs(s, d_)),
@@ -232,6 +254,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range_count_box_d5": OR.range_count_box_sql(NQ_BOX, 5, "uniform"),
         "spatial_knn_d3": OR.knn_sql(NQ_KNN, KNN_K, 3, "uniform"),
         "spatial_knn_graph": OR.knn_graph_sql(5, D, "uniform"),
+        "spatial_raster_to_vector": OR.raster_to_vector_sql(CELL_LEVEL, 2, D, "uniform"),
+        "spatial_vector_to_raster": OR.vector_to_raster_sql(NQ_POLY, CELL_LEVEL),
+        "spatial_tile_assignments": OR.tile_assignments_sql(CELL_LEVEL, D, "uniform"),
         "pipe_token_stats": ORP.token_stats_sql(),
         "pipe_lang_id": ORP.lang_id_sql(),
         "pipe_fingerprint": ORP.fingerprint_sql(),

@@ -179,6 +179,47 @@ def cells_sql(level: int, d: int = 2, dist: str = "uniform") -> str:
     )
 
 
+def raster_to_vector_sql(level: int, threshold: int, d: int = 2, dist: str = "uniform") -> str:
+    w = 1 << (C.GRID_BITS - level)
+    gcols = ", ".join(f"CAST(x{j} // {w} AS BIGINT) AS g{j}" for j in range(d))
+    gnames = ", ".join(f"g{j}" for j in range(d))
+    sel = (
+        [f"g{j}" for j in range(d)]
+        + [f"CAST(g{j} * {w} AS BIGINT) AS lo{j}" for j in range(d)]
+        + [f"CAST(g{j} * {w} + {w - 1} AS BIGINT) AS hi{j}" for j in range(d)]
+        + ["val"]
+    )
+    return (
+        f"WITH {pts_cte(dist, d)}, "
+        f"raster AS (SELECT {gnames}, CAST(count(*) AS BIGINT) AS val "
+        f"  FROM (SELECT {gcols} FROM pts) GROUP BY {gnames}) "
+        f"SELECT {', '.join(sel)} FROM raster WHERE val >= {threshold}"
+    )
+
+
+def vector_to_raster_sql(nq: int, level: int) -> str:
+    """Burn diamond polygons into the level grid: a cell is set iff its
+    center (doubled coords) is inside — |cx2 - 2*c0| + |cy2 - 2*c1| <= 2*r."""
+    w = 1 << (C.GRID_BITS - level)
+    n = 1 << level
+    return (
+        f"WITH {diamond_cte(nq)}, "
+        f"grid AS (SELECT a.i AS g0, b.i AS g1 FROM range(0, {n}) a(i), range(0, {n}) b(i)) "
+        f"SELECT qid, g0, g1 FROM q, grid "
+        f"WHERE abs(g0 * {w} * 2 + {w - 1} - 2 * c0) + abs(g1 * {w} * 2 + {w - 1} - 2 * c1) <= 2 * r"
+    )
+
+
+def tile_assignments_sql(level: int, d: int = 2, dist: str = "uniform") -> str:
+    w = 1 << (C.GRID_BITS - level)
+    gcols = ", ".join(f"CAST(x{j} // {w} AS BIGINT) AS g{j}" for j in range(d))
+    return (
+        f"WITH {pts_cte(dist, d)} "
+        f"SELECT 'doc_' || lpad(CAST(key AS VARCHAR), 12, '0') AS doc_id, "
+        f"CAST(span_idx AS INT) AS span_idx, {gcols} FROM pts"
+    )
+
+
 def sliding_window_cells_sql(level: int, window_len: int, d: int = 2, dist: str = "uniform") -> str:
     """After inserting periods 0..P-1 (period = key % P) and expiring all but
     the last `window_len`, the live set is period >= P - window_len."""
