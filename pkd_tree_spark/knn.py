@@ -62,40 +62,54 @@ def _density_levels(
 ) -> np.ndarray:
     """Per-query grid level from a density ladder.
 
-    Iterative descent: at each ladder level, ONE aggregation of the cached
-    points restricted (broadcast semi-join) to the distinct home cells of
-    the queries still deepening — so every collect is <= n_queries rows no
-    matter how large the table is, and queries outside hot regions stop at
-    the first level. This is the kd-tree's density-adaptive depth recovered
-    with O(ladder) cheap scans instead of a global fine histogram (which
-    would be O(n) rows to collect at scale).
+    ONE aggregation computes the counts of every query's home cell at every
+    ladder level simultaneously (explode the point's (level, cell) pairs,
+    broadcast-semi-join against the queries' home cells, groupBy): the
+    collect is <= n_queries * ladder rows regardless of table size, and the
+    job count is constant — no per-level barrier. The descent itself is
+    then pure numpy. This recovers the kd-tree's density-adaptive depth
+    with a single extra pass over the cached points.
     """
     d, kb, cb = index.cfg.dims, index.cfg.grid_bits, index.cfg.coord_bits
     spark = index.points.sparkSession
     q = np.stack([queries[f"q{j}"].to_numpy(dtype=np.int64) for j in range(d)], axis=1)
-    levels = np.full(len(queries), level_floor, dtype=np.int64)
-    active = np.ones(len(queries), dtype=bool)
-    thresh = max(target, 3 * k)
-    for lvl in range(level_floor, level_cap):
-        cells = morton_encode_np(q[active] >> (cb - lvl), bits=lvl)
-        qcells = pd.DataFrame({"c": np.unique(cells)})
-        hist = (
-            index.points.withColumn("c", F.shiftrightunsigned("morton", d * (kb - lvl)))
-            .join(F.broadcast(spark.createDataFrame(qcells)), "c")
-            .groupBy("c")
-            .count()
-            .toPandas()
+    ladder = list(range(level_floor, level_cap + 1))
+    home = {lvl: morton_encode_np(q >> (cb - lvl), bits=lvl) for lvl in ladder}
+    pairs = pd.concat(
+        [pd.DataFrame({"lvl": np.int32(lvl), "c": np.unique(home[lvl])}) for lvl in ladder],
+        ignore_index=True,
+    )
+    lvl_cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lvl).cast("int").alias("lvl"),
+                    F.shiftrightunsigned("morton", d * (kb - lvl)).alias("c"),
+                )
+                for lvl in ladder
+            ]
         )
-        tab = dict(zip(hist["c"].astype(np.int64), hist["count"]))
-        home = np.array([tab.get(int(c), 0) for c in cells], dtype=np.int64)
+    ).alias("s")
+    hist = (
+        index.points.select(lvl_cells)
+        .select(F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"))
+        .join(F.broadcast(spark.createDataFrame(pairs)), ["lvl", "c"])
+        .groupBy("lvl", "c")
+        .count()
+        .toPandas()
+    )
+    tab = {(int(lvl), int(c)): int(n) for lvl, c, n in hist.itertuples(index=False, name=None)}
+
+    levels = np.full(len(queries), level_floor, dtype=np.int64)
+    thresh = max(target, 3 * k)
+    active = np.ones(len(queries), dtype=bool)
+    for lvl in ladder[:-1]:
+        cnts = np.array([tab.get((lvl, int(c)), 0) for c in home[lvl]], dtype=np.int64)
         # 3^d-neighborhood estimate: home-cell count * 3^d (upper-bounds the
         # block under local uniformity; conservative in cluster cores)
-        deepen = home * (3**d) > thresh
-        idx_active = np.flatnonzero(active)
-        levels[idx_active[deepen]] = lvl + 1
-        new_active = np.zeros_like(active)
-        new_active[idx_active[deepen]] = True
-        active = new_active
+        deepen = active & (cnts * (3**d) > thresh)
+        levels[deepen] = lvl + 1
+        active = deepen
         if not active.any():
             break
     return levels
