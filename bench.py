@@ -165,8 +165,11 @@ def run_scaling(base: int | None = None, mult: int = 4) -> dict:
     contention, not the engine's scaling (mirrors the reference pinning
     real cores via numactl, script/scalability.sh)."""
     if base is None:
-        phys = _physical_cores()
-        base = max(2, phys // mult)
+        # lscpu in this VM reports every vCPU as its own core, but a fixed-
+        # work burner test shows ~16 truly-parallel cores (32 burners take
+        # 1.33x the wall of 16). Default to 4-vs-16 so both levels sit
+        # within real cores; override with SPARK_GRAFT_SCALE_BASE.
+        base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "4"))
     results = {}
     rep = os.environ.get("SPARK_GRAFT_REPLICATE", "16")
     for c in (base, base * mult):

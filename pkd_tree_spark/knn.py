@@ -73,7 +73,9 @@ def _density_levels(
     d, kb, cb = index.cfg.dims, index.cfg.grid_bits, index.cfg.coord_bits
     spark = index.points.sparkSession
     q = np.stack([queries[f"q{j}"].to_numpy(dtype=np.int64) for j in range(d)], axis=1)
-    ladder = list(range(level_floor, level_cap + 1))
+    # step-2 ladder: cell area jumps 4x (d=2) per rung, plenty of resolution
+    # for a candidate-count target while halving the exploded histogram rows
+    ladder = list(range(level_floor, level_cap + 1, 2))
     home = {lvl: morton_encode_np(q >> (cb - lvl), bits=lvl) for lvl in ladder}
     pairs = pd.concat(
         [pd.DataFrame({"lvl": np.int32(lvl), "c": np.unique(home[lvl])}) for lvl in ladder],
@@ -103,12 +105,12 @@ def _density_levels(
     levels = np.full(len(queries), level_floor, dtype=np.int64)
     thresh = max(target, 3 * k)
     active = np.ones(len(queries), dtype=bool)
-    for lvl in ladder[:-1]:
+    for i, lvl in enumerate(ladder[:-1]):
         cnts = np.array([tab.get((lvl, int(c)), 0) for c in home[lvl]], dtype=np.int64)
         # 3^d-neighborhood estimate: home-cell count * 3^d (upper-bounds the
         # block under local uniformity; conservative in cluster cores)
         deepen = active & (cnts * (3**d) > thresh)
-        levels[deepen] = lvl + 1
+        levels[deepen] = ladder[i + 1]
         active = deepen
         if not active.any():
             break
