@@ -121,7 +121,7 @@ def run_suite() -> dict:
 
         # range count: mixed-selectivity boxes (reference summary uses 10^4;
         # scaled-up input uses more boxes so parallel scan work dominates)
-        boxes_n = int(os.environ.get("SPARK_GRAFT_RANGE_BOXES", "2000" if REPLICATE > 1 else "1000"))
+        boxes_n = int(os.environ.get("SPARK_GRAFT_RANGE_BOXES", "10000" if REPLICATE > 1 else "1000"))
         boxes = FX.box_fixtures(boxes_n, 2)
         timed(
             f"range_count_{dist}",

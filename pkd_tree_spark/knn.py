@@ -92,15 +92,25 @@ def _density_levels(
             ]
         )
     ).alias("s")
+    # density only picks levels, so a sampled histogram is plenty: cap the
+    # scanned rows at ~2M and scale counts back up (noise just moves a query
+    # one rung, which the ring bound absorbs)
+    src = index.points
+    scale = 1.0
+    n_est = int(index.meta.agg(F.sum("cnt")).collect()[0][0] or 0)  # tiny cached agg
+    if n_est > 2_000_000:
+        frac = 2_000_000 / n_est
+        src = src.sample(fraction=frac, seed=42)
+        scale = 1.0 / frac
     hist = (
-        index.points.select(lvl_cells)
+        src.select(lvl_cells)
         .select(F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"))
         .join(F.broadcast(spark.createDataFrame(pairs)), ["lvl", "c"])
         .groupBy("lvl", "c")
         .count()
         .toPandas()
     )
-    tab = {(int(lvl), int(c)): int(n) for lvl, c, n in hist.itertuples(index=False, name=None)}
+    tab = {(int(lvl), int(c)): int(n * scale) for lvl, c, n in hist.itertuples(index=False, name=None)}
 
     levels = np.full(len(queries), level_floor, dtype=np.int64)
     thresh = max(target, 3 * k)

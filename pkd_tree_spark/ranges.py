@@ -59,6 +59,52 @@ def ball_queries_df(spark: SparkSession, balls: pd.DataFrame) -> DataFrame:
     return spark.createDataFrame(balls)
 
 
+DISTRIBUTED_COVER_THRESHOLD = 4000
+
+
+def _covers_distributed(spark, qpd: pd.DataFrame, kind: str, cfg, budget: int) -> pd.DataFrame:
+    """Compute cell covers INSIDE executors (mapInPandas over the query set)
+    instead of on the driver — the cover is data-independent and
+    embarrassingly parallel per query, so for large query batches this
+    removes the driver's serial floor (the 100TB path; driver-side is fine
+    for hundreds of queries)."""
+    d = cfg.dims
+
+    def gen(batches):
+        from pkd_tree_spark.index import BallRegion, BoxRegion, cover_regions
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if kind == "box":
+                regions = [
+                    (int(r.qid), BoxRegion([getattr(r, f"lo{j}") for j in range(d)],
+                                           [getattr(r, f"hi{j}") for j in range(d)]))
+                    for r in pdf.itertuples()
+                ]
+            else:
+                regions = [
+                    (int(r.qid), BallRegion([getattr(r, f"c{j}") for j in range(d)], int(r.r2)))
+                    for r in pdf.itertuples()
+                ]
+            yield cover_regions(regions, cfg, budget)
+
+    qdf = spark.createDataFrame(qpd).repartition(cfg.partitions)
+    return qdf.mapInPandas(gen, schema="qid long, level int, cell long, interior boolean").toPandas()
+
+
+def _covers_for_boxes(spark, boxes: pd.DataFrame, cfg, budget: int) -> pd.DataFrame:
+    if len(boxes) > DISTRIBUTED_COVER_THRESHOLD:
+        return _covers_distributed(spark, boxes, "box", cfg, budget)
+    return cover_regions(_box_regions(boxes, cfg.dims), cfg, budget)
+
+
+def _covers_for_balls(spark, balls: pd.DataFrame, cfg, budget: int) -> pd.DataFrame:
+    if len(balls) > DISTRIBUTED_COVER_THRESHOLD:
+        return _covers_distributed(spark, balls, "ball", cfg, budget)
+    return cover_regions(_ball_regions(balls, cfg.dims), cfg, budget)
+
+
 def _box_regions(boxes: pd.DataFrame, d: int):
     return [
         (int(r.qid), BoxRegion([getattr(r, f"lo{j}") for j in range(d)], [getattr(r, f"hi{j}") for j in range(d)]))
@@ -192,7 +238,7 @@ def range_count_boxes(index: SpatialIndex, boxes: pd.DataFrame, budget: int = 51
     """(qid, cnt) — rectangle range count (R1)."""
     spark = index.points.sparkSession
     d = index.cfg.dims
-    covers = cover_regions(_box_regions(boxes, d), index.cfg, budget)
+    covers = _covers_for_boxes(spark, boxes, index.cfg, budget)
     qdf = box_queries_df(spark, boxes)
     return _count_plan(index, qdf, covers, _and_all(
         [F.col(f"x{j}").between(F.col(f"lo{j}"), F.col(f"hi{j}")) for j in range(d)]
@@ -203,7 +249,7 @@ def range_count_balls(index: SpatialIndex, balls: pd.DataFrame, budget: int = 51
     """(qid, cnt) — radius range count (R2); exact squared-int arithmetic."""
     spark = index.points.sparkSession
     d = index.cfg.dims
-    covers = cover_regions(_ball_regions(balls, d), index.cfg, budget)
+    covers = _covers_for_balls(spark, balls, index.cfg, budget)
     qdf = ball_queries_df(spark, balls)
     return _count_plan(index, qdf, covers, _ball_pred(d))
 
