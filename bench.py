@@ -172,14 +172,25 @@ def run_scaling(base: int | None = None, mult: int = 4) -> dict:
         base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "4"))
     results = {}
     rep = os.environ.get("SPARK_GRAFT_REPLICATE", "16")
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     for c in (base, base * mult):
         env = dict(
             os.environ, SPARK_GRAFT_CPUS=str(c), SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_REPLICATE=rep
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
-        )
-        results[c] = json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):  # min-of-N: the sandbox VM has 2-3x timing noise
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None:
+                best = r
+            else:
+                for qn, t in r["queries"].items():
+                    if t < best["queries"][qn]:
+                        best["queries"][qn] = t
+                        best["throughput"][qn] = r["throughput"].get(qn, best["throughput"].get(qn))
+        results[c] = best
     eff = {}
     for q, t_small in results[base]["queries"].items():
         t_big = results[base * mult]["queries"][q]
