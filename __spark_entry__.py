@@ -27,6 +27,7 @@ from pkd_tree_spark.ranges import (
     range_count_balls,
     range_count_boxes,
     range_count_polygons,
+    range_report_balls,
     range_report_boxes,
 )
 from pkd_tree_spark.updates import merge_delete, merge_insert, sliding_window
@@ -148,6 +149,24 @@ def _q_report_box(dist: str):
     return fn
 
 
+def _q_report_ball(dist: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return range_report_balls(_build(spark, sf_dir, dist), FX.ball_fixtures(16, D))
+    return fn
+
+
+def _q_incremental_build(dist: str):
+    """U7 incremental build: insert in 4 steps until full; final grid state
+    must equal a from-scratch build's (the oracle computes the full state)."""
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pts = load_points(spark, sf_dir, dims=D, dist=dist)
+        idx = SpatialIndex.build(pts.where(F.col("key") % 4 == 0), _CFG)
+        for step in (1, 2, 3):
+            idx = merge_insert(idx, pts.where(F.col("key") % 4 == step))
+        return _grid_cells(idx, CELL_LEVEL)
+    return fn
+
+
 def _q_count_polygon(dist: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         polys = FX.diamond_fixtures(NQ_POLY)[["qid", "vx", "vy"]]
@@ -205,6 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_count_ball_uniform": _q_count_ball("uniform"),
         "spatial_range_count_ball_varden": _q_count_ball("varden"),
         "spatial_range_report_box_uniform": _q_report_box("uniform"),
+        "spatial_range_report_ball_varden": _q_report_ball("varden"),
+        "spatial_incremental_build_cells": _q_incremental_build("uniform"),
         "spatial_range_count_polygon_uniform": _q_count_polygon("uniform"),
         "spatial_knn_uniform": _q_knn("uniform"),
         "spatial_knn_varden": _q_knn("varden"),
@@ -243,6 +264,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range_count_ball_uniform": OR.range_count_ball_sql(NQ_BALL, D, "uniform"),
         "spatial_range_count_ball_varden": OR.range_count_ball_sql(NQ_BALL, D, "varden"),
         "spatial_range_report_box_uniform": OR.range_report_box_sql(16, D, "uniform"),
+        "spatial_range_report_ball_varden": OR.range_report_ball_sql(16, D, "varden"),
+        "spatial_incremental_build_cells": OR.cells_sql(CELL_LEVEL, D, "uniform"),
         "spatial_range_count_polygon_uniform": OR.range_count_diamond_sql(NQ_POLY, "uniform"),
         "spatial_knn_uniform": OR.knn_sql(NQ_KNN, KNN_K, D, "uniform"),
         "spatial_knn_varden": OR.knn_sql(NQ_KNN, KNN_K, D, "varden"),

@@ -129,6 +129,16 @@ def range_report_box_sql(nq: int, d: int = 2, dist: str = "uniform") -> str:
     )
 
 
+def range_report_ball_sql(nq: int, d: int = 2, dist: str = "uniform") -> str:
+    cols = ", ".join(f"p.x{j} AS x{j}" for j in range(d))
+    return (
+        f"WITH {pts_cte(dist, d)}, {ball_cte(nq, d)} "
+        f"SELECT q.qid AS qid, 'doc_' || lpad(CAST(p.key AS VARCHAR), 12, '0') AS doc_id, "
+        f"CAST(p.span_idx AS INT) AS span_idx, p.key AS key, {cols} "
+        f"FROM q JOIN pts p ON {_ball_pred(d)}"
+    )
+
+
 def knn_sql(nq: int, k: int, d: int = 2, dist: str = "uniform", state: str = "base") -> str:
     """state: 'base' | 'inserted' (base + insert batch) | 'updated'
     (base + insert, minus keys k%DELETE_MOD==0)."""

@@ -277,6 +277,26 @@ def range_report_boxes(index: SpatialIndex, boxes: pd.DataFrame, budget: int = 5
     )
 
 
+def range_report_balls(index: SpatialIndex, balls: pd.DataFrame, budget: int = 512) -> DataFrame:
+    """(qid, doc_id, span_idx, key, x0..) — radius range report (R2/R4
+    combination: ball predicate, report semantics). Interior cells skip the
+    predicate; exact int dist^2 filter on boundary cells."""
+    spark = index.points.sparkSession
+    d = index.cfg.dims
+    covers = _covers_for_balls(spark, balls, index.cfg, budget)
+    cand = _boundary_candidates(index, covers, interior_too=True)
+    cols = ["qid", "doc_id", "span_idx", "key"] + [f"x{j}" for j in range(d)]
+    if cand is None:
+        return spark.createDataFrame([], schema="qid long, doc_id string, span_idx int, key long, "
+                                      + ", ".join(f"x{j} long" for j in range(d)))
+    qdf = ball_queries_df(spark, balls)
+    return (
+        cand.join(F.broadcast(qdf), "qid")
+        .where(F.col("interior") | _ball_pred(d))
+        .select(*cols)
+    )
+
+
 def range_count_polygons(index: SpatialIndex, polys: pd.DataFrame, budget: int = 512) -> DataFrame:
     """(qid, cnt) — point-in-convex-polygon count, d=2.
 
