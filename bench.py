@@ -83,7 +83,9 @@ def run_suite() -> dict:
             spark.range(0, REPLICATE, 1, CPUS)
             .select(F.col("id").alias("rep"))
             .crossJoin(F.broadcast(li.select(doc_key_col().alias("k"))))
-            .select((F.col("k") + F.col("rep") * F.lit(100_000_000)).alias("k"))
+            # offset 2e7 keeps k*A5 < 2^63 up to ~64 replicas and clear of
+            # the insert-batch key range (1e7..~1.6e7)
+            .select((F.col("k") + F.col("rep") * F.lit(20_000_000)).alias("k"))
         )
 
     idx = {}
