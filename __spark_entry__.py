@@ -204,6 +204,35 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _q_events_hourly_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic relational breadth: per event_type, the top-5 busiest hours
+    (window rank over an hourly aggregate; integer outputs only)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.groupBy("event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("event_id").alias("min_eid"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("hour"))
+    return (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("event_type", "hour", "cnt", "min_eid", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+_EVENTS_HOURLY_SQL = (
+    "WITH hourly AS ("
+    "  SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, "
+    "         CAST(count(*) AS BIGINT) AS cnt, min(event_id) AS min_eid "
+    "  FROM events GROUP BY 1, 2) "
+    "SELECT event_type, hour, cnt, min_eid, rn FROM ("
+    "  SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, hour) AS BIGINT) AS rn "
+    "  FROM hourly) WHERE rn <= 5"
+)
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = synth_documents(spark, sf_dir, dims=D, dist="uniform")
     return decode_media_stub(with_media_binary(media_spans(docs)))
@@ -252,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_embedding_dup": lambda s, d_: DD.embedding_dup_pairs(_emb(s, d_)),
         "pipe_ann_lsh": lambda s, d_: SIM.ann_lsh(_emb(s, d_)),  # approximate: rows-only check
         "pipe_media_decode": _q_media_decode,
+        "pipe_events_hourly_top": _q_events_hourly_top,
     }
 
 
@@ -291,4 +321,5 @@ def oracle_sql() -> dict[str, str]:
         "pipe_embedding_dup": ORP.embedding_dup_sql(),
         # pipe_ann_lsh intentionally has no oracle (approximate operator)
         "pipe_media_decode": ORP.media_decode_sql(),
+        "pipe_events_hourly_top": _EVENTS_HOURLY_SQL,
     }
