@@ -93,3 +93,25 @@ def test_empty_and_total_boxes(index_uniform, points_uniform):
     got = range_count_boxes(index_uniform, boxes).toPandas().set_index("qid")["cnt"]
     assert got[0] == 0
     assert got[1] == len(points_uniform)
+
+
+def test_distributed_covers_match_driver_side(spark):
+    """The mapInPandas cover path (used for large query batches) must
+    produce exactly the driver-side covers."""
+    from pkd_tree_spark.config import EngineConfig
+    from pkd_tree_spark.index import cover_regions
+    from pkd_tree_spark.ranges import _box_regions, _covers_distributed
+
+    cfg = EngineConfig(dims=2, index_level=5, knn_level=4, partitions=4)
+    boxes = FX.box_fixtures(50, 2)
+    want = (
+        cover_regions(_box_regions(boxes, 2), cfg, 256)
+        .sort_values(["qid", "level", "cell"])
+        .reset_index(drop=True)
+    )
+    got = (
+        _covers_distributed(spark, boxes, "box", cfg, 256)
+        .sort_values(["qid", "level", "cell"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
