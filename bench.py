@@ -140,9 +140,33 @@ def run_suite() -> dict:
         .select("doc_id", "span_idx", (F.col("key") + 50_000_000).alias("key"), "x0", "x1")
     ).persist()
     bn = batch.count()
-    ins = timed("batch_insert_1pct", lambda: merge_insert(ix, batch), items=bn)
-    ins.points.count() if hasattr(ins, "points") else None
+    # materialization (count) happens INSIDE timed(): merge_insert only
+    # builds a lazy plan, so timing it alone would measure no Spark work
+    def _do_insert():
+        ins = merge_insert(ix, batch)
+        ins.points.count()
+        ins.meta.count()  # metadata refresh is part of the update cost (M2)
+        return ins
+
+    ins = timed("batch_insert_1pct", _do_insert, items=bn)
     timed("batch_delete_1pct", lambda: merge_delete(ins, batch.select("key")).points.count(), items=bn)
+
+    # 10% batch sweep (reference sweeps 0.01%..10%, summary_3inba.csv): the
+    # large-batch path must not broadcast the delete-key set
+    batch10 = (
+        ix.points.where(F.col("key") % 10 == 7)
+        .select("doc_id", "span_idx", (F.col("key") + 60_000_000).alias("key"), "x0", "x1")
+    ).persist()
+    bn10 = batch10.count()
+
+    def _do_insert10():
+        ins10 = merge_insert(ix, batch10)
+        ins10.points.count()
+        ins10.meta.count()
+        return ins10
+
+    ins10 = timed("batch_insert_10pct", _do_insert10, items=bn10)
+    timed("batch_delete_10pct", lambda: merge_delete(ins10, batch10.select("key")).points.count(), items=bn10)
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -76,16 +76,24 @@ class SpatialIndex:
         m = self.meta.agg(F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("cells")).collect()[0]
         # every point's coords inside its cell's geometric bounds
         w = self.cfg.cell_width
-        viol = 0
+        viol: int | None = 0
         mrows = self.meta.collect() if m["cells"] < 200_000 else None
-        if mrows is not None:
+        if mrows is None:
+            viol = None  # too many cells for a driver-side check: report "not checked", never a silent 0
+        else:
             cells = np.array([r["cell"] for r in mrows], dtype=np.int64)
             gcoords = morton_decode_np(cells, d, bits=self.cfg.index_level)
             for j in range(d):
                 mn = np.array([r[f"mn{j}"] for r in mrows])
                 mx = np.array([r[f"mx{j}"] for r in mrows])
                 viol += int(np.sum((mn < gcoords[:, j] * w) | (mx > (gcoords[:, j] + 1) * w - 1)))
-        return {"n_points": n_pts, "meta_sum": m["s"], "n_cells": m["cells"], "bbox_violations": viol}
+        return {
+            "n_points": n_pts,
+            "meta_sum": m["s"],
+            "n_cells": m["cells"],
+            "bbox_violations": viol,
+            "bbox_checked": viol is not None,
+        }
 
 
 class _Region:

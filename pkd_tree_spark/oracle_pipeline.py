@@ -13,17 +13,20 @@ from .pipeline import text as TX
 
 P = TX.P31
 
-# shared token/vocab CTEs ----------------------------------------------------
+# shared token CTEs -----------------------------------------------------------
 TOKS = (
     "toks AS (SELECT doc_id, unnest(parts) AS tok, generate_subscripts(parts, 1) AS pos "
     "FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents))"
 )
-VOCAB = (
-    "vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid "
-    "FROM (SELECT DISTINCT tok FROM toks))"
+# token id = polynomial char-fold hash mod P31, bit-identical to
+# pipeline.text.tok_id_col (list_reduce's first-element init == Spark's
+# aggregate with init 0, since 0*131 + c1 = c1)
+_TID_EXPR = (
+    f"list_reduce(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), "
+    f"(acc, x) -> (acc * {TX.TOK_HASH_MULT} + x) % {P})"
 )
-TOKID = "tokid AS (SELECT doc_id, pos, tid FROM toks JOIN vocab USING (tok))"
-_BASE = f"WITH {TOKS}, {VOCAB}, {TOKID}"
+TOKID = f"tokid AS (SELECT doc_id, pos, {_TID_EXPR} AS tid FROM toks)"
+_BASE = f"WITH {TOKS}, {TOKID}"
 
 
 def token_stats_sql() -> str:
@@ -64,18 +67,28 @@ def exact_dup_sql() -> str:
 
 
 TRIGRAMS = (
-    "tri AS (SELECT DISTINCT t1.doc_id, t1.tid * 1000000 + t2.tid * 1000 + t3.tid AS trig "
-    "FROM tokid t1 JOIN tokid t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1 "
-    "JOIN tokid t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2)"
+    f"tri AS (SELECT DISTINCT t1.doc_id, "
+    f"((t1.tid * {DD.TRIG_MULT} + t2.tid) % {P} * {DD.TRIG_MULT} + t3.tid) % {P} AS trig "
+    f"FROM tokid t1 JOIN tokid t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1 "
+    f"JOIN tokid t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2)"
 )
 
 
-def ngram_jaccard_sql(permille: int = DD.TRIGRAM_JACCARD_PERMILLE) -> str:
+def ngram_jaccard_sql(
+    permille: int = DD.TRIGRAM_JACCARD_PERMILLE, df_cap: int = DD.NGRAM_DF_CAP
+) -> str:
+    # mirrors dedup.ngram_jaccard_pairs: DF-capped candidate generation,
+    # exact Jaccard over full shingle sets for candidate pairs
     return (
         f"{_BASE}, {TRIGRAMS}, "
-        f"sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id), "
-        f"common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common "
-        f"  FROM tri a JOIN tri b ON a.trig = b.trig AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        f"df AS (SELECT trig, count(*) AS c FROM tri GROUP BY trig), "
+        f"rare AS (SELECT tri.doc_id, tri.trig FROM tri JOIN df USING (trig) WHERE df.c <= {df_cap}), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"  FROM rare a JOIN rare b ON a.trig = b.trig AND a.doc_id < b.doc_id), "
+        f"common AS (SELECT c.doc_a, c.doc_b, count(*) AS common FROM cand c "
+        f"  JOIN tri a ON a.doc_id = c.doc_a JOIN tri b ON b.doc_id = c.doc_b AND b.trig = a.trig "
+        f"  GROUP BY 1, 2), "
+        f"sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id) "
         f"SELECT doc_a, doc_b, CAST(common * 1000 // (sa.sz + sb.sz - common) AS BIGINT) AS jac_permille "
         f"FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
         f"WHERE common * 1000 // (sa.sz + sb.sz - common) >= {permille}"

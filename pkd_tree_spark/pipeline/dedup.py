@@ -22,6 +22,7 @@ from ..config import A1
 from .text import tokens_with_ids
 
 P31 = 2_147_483_647
+TRIG_MULT = 1_000_003  # shingle combine multiplier (hash-id-safe packing)
 NUM_HASHES = 8
 BANDS = 4  # rows per band = NUM_HASHES // BANDS = 2
 TRIGRAM_JACCARD_PERMILLE = 200
@@ -35,47 +36,77 @@ def minhash_coeffs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
-    """Exact dedup: group by content; (keeper, cnt) per distinct text.
-    keeper = min doc_id (the canonical row a dedup pass would keep)."""
-    return docs.groupBy("text").agg(
+    """Exact dedup: group by content digest; (keeper, cnt) per distinct text.
+    keeper = min doc_id (the canonical row a dedup pass would keep).
+
+    Grouping key is sha2(text) — computed map-side so full document bytes
+    never cross the shuffle (only 32-byte digests do). SHA-256 collisions
+    are cryptographically negligible, so the groups equal group-by-text
+    (which is what the SQL oracle runs)."""
+    return docs.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
         F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("cnt")
     ).select("keeper", "cnt")
 
 
 def _trigrams(docs: DataFrame) -> DataFrame:
-    """Distinct token-trigram shingles per doc: trig = t1*10^6 + t2*10^3 + t3
-    (vocab ids are small). (doc_id, trig)."""
+    """Distinct token-trigram shingles per doc, packed by modular combine
+    trig = ((t1*K + t2) % P31 * K + t3) % P31 with K=TRIG_MULT — safe for
+    the 31-bit hash token ids (tid*K stays < 2^51). (doc_id, trig)."""
     t = tokens_with_ids(docs)
     t1 = t.alias("t1")
     t2 = t.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("tid").alias("tid2")).alias("t2")
     t3 = t.select("doc_id", (F.col("pos") - 2).alias("pos"), F.col("tid").alias("tid3")).alias("t3")
+    trig = (
+        (F.col("tid").cast("long") * F.lit(TRIG_MULT) + F.col("tid2")) % F.lit(P31) * F.lit(TRIG_MULT)
+        + F.col("tid3")
+    ) % F.lit(P31)
     tri = (
         t1.join(t2, ["doc_id", "pos"]).join(t3, ["doc_id", "pos"])
-        .select(
-            "doc_id",
-            (F.col("tid").cast("long") * 1_000_000 + F.col("tid2") * 1_000 + F.col("tid3")).alias("trig"),
-        )
+        .select("doc_id", trig.alias("trig"))
         .distinct()
     )
     return tri
 
 
-def ngram_jaccard_pairs(docs: DataFrame, permille: int = TRIGRAM_JACCARD_PERMILLE) -> DataFrame:
-    """Exact n-gram (trigram) Jaccard near-dup pairs:
+NGRAM_DF_CAP = 64  # drop shingles shared by more than this many docs from CANDIDATE generation
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, permille: int = TRIGRAM_JACCARD_PERMILLE, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    """n-gram (trigram) Jaccard near-dup pairs:
     (doc_a, doc_b, jac_permille) with doc_a < doc_b and
     jac_permille = floor(1000 * |A∩B| / |A∪B|) >= permille.
-    Candidate pairs come from the shingle equi-join (docs sharing >= 1
-    trigram) — no cross join."""
+
+    Scale shape: candidate pairs come from a self-join on shingles whose
+    document frequency is <= df_cap — a hot shingle shared by 10^6 docs
+    would otherwise emit 10^12 candidate pairs from one join key. The
+    Jaccard itself is then EXACT over the full shingle sets (the |A∩B|
+    count joins the full trigram table restricted to candidates, linear in
+    |candidates| * avg shingles). Recall trade, documented: a pair is
+    missed only if EVERY shingle it shares is hotter than df_cap — such
+    pairs are near-duplicates of boilerplate, the standard exclusion
+    (MinHash pipelines use the same df cap). At the testdata max df = 7,
+    so the cap never binds and the output equals the uncapped join."""
     tri = _trigrams(docs).persist()
-    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = tri.select(F.col("doc_id").alias("doc_a"), "trig")
-    b = tri.select(F.col("doc_id").alias("doc_b"), "trig")
-    common = (
-        a.join(b, "trig")
+    df = tri.groupBy("trig").agg(F.count(F.lit(1)).alias("df_"))
+    rare = tri.join(df.where(F.col("df_") <= df_cap), "trig").select("doc_id", "trig")
+    cand = (
+        rare.select(F.col("doc_id").alias("doc_a"), "trig")
+        .join(rare.select(F.col("doc_id").alias("doc_b"), "trig"), "trig")
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact |A∩B| over FULL shingle sets, restricted to candidate pairs
+    ta = tri.select(F.col("doc_id").alias("doc_a"), "trig")
+    tb = tri.select(F.col("doc_id").alias("doc_b"), "trig")
+    common = (
+        cand.join(ta, "doc_a").join(tb, ["doc_b", "trig"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     jac = (F.col("common") * 1000 / (F.col("sza") + F.col("szb") - F.col("common"))).cast("long")

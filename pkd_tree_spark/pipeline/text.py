@@ -14,10 +14,14 @@ from pyspark.sql import functions as F
 from ..config import A1, A2
 
 P31 = 2_147_483_647
+TOK_HASH_MULT = 131
 STOPWORDS = ("the", "a")  # of the testdata's 31-token vocabulary
 LANG_PERMILLE = 30
 
-__all__ = ["tokens", "vocab", "token_stats", "lang_id", "fingerprint", "P31", "STOPWORDS", "LANG_PERMILLE"]
+__all__ = [
+    "tokens", "vocab", "tok_id_col", "token_stats", "lang_id", "fingerprint",
+    "P31", "TOK_HASH_MULT", "STOPWORDS", "LANG_PERMILLE",
+]
 
 
 def tokens(docs: DataFrame) -> DataFrame:
@@ -27,15 +31,38 @@ def tokens(docs: DataFrame) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
 
 
+def tok_id_col(tok) -> F.Column:
+    """Deterministic token id: polynomial char-fold hash mod P31,
+    acc = (acc*131 + ascii(c)) % P31 — a pure JVM higher-order expression,
+    mirrored bit-exactly in DuckDB via list_reduce (oracle_pipeline.TOKID).
+
+    This replaces the rank-based vocabulary id: a global row_number() over
+    distinct tokens funnels the whole vocabulary through ONE task (no
+    partitionBy), which serializes at web scale. The hash id needs no
+    shuffle at all — token ids are computed inline in the token stream.
+    31-bit ids keep every downstream product < 2^63 (fingerprint, minhash,
+    simhash formulas multiply tid by ~2^31 constants); collision probability
+    at the testdata vocabulary is 0 (verified) and stays < 1e-3 up to ~2k
+    distinct tokens — acceptable for near-dup *candidate* generation, where
+    a collision only merges two shingles.
+    """
+    col = F.col(tok) if isinstance(tok, str) else tok
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(TOK_HASH_MULT) + F.ascii(c)) % F.lit(P31),
+    )
+
+
 def vocab(docs: DataFrame) -> DataFrame:
-    """(tok, tid) with tid = 1-based rank of the token in sorted order —
-    a deterministic integer id both engines derive identically."""
-    w = Window.orderBy("tok")
-    return tokens(docs).select("tok").distinct().withColumn("tid", F.row_number().over(w))
+    """(tok, tid) over the distinct tokens — tid is the char-fold hash (see
+    tok_id_col); kept for introspection, no longer on the hot path."""
+    return tokens(docs).select("tok").distinct().withColumn("tid", tok_id_col("tok"))
 
 
 def tokens_with_ids(docs: DataFrame) -> DataFrame:
-    return tokens(docs).join(F.broadcast(vocab(docs)), "tok").select("doc_id", "pos", "tid")
+    """(doc_id, pos, tid) — ids computed inline; no vocab join, no shuffle."""
+    return tokens(docs).select("doc_id", "pos", tok_id_col("tok").alias("tid"))
 
 
 def token_stats(docs: DataFrame) -> DataFrame:

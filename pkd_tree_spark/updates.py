@@ -113,8 +113,12 @@ def merge_delete(index: SpatialIndex, delete_keys: DataFrame, persist: bool = Tr
     (batch_delete.hpp:93-107)."""
     cfg = index.cfg
     on = [c for c in ("key", "span_idx") if c in delete_keys.columns]
-    removed = index.points.join(F.broadcast(delete_keys.select(*on).distinct()), on, "left_semi")
-    pts = index.points.join(F.broadcast(delete_keys.select(*on).distinct()), on, "left_anti")
+    # No broadcast hint: a 10% delete of 10^9 rows is 10^8 keys — forcing a
+    # broadcast OOMs executors. AQE broadcasts small key sets on its own and
+    # falls back to a shuffle join for large batches.
+    keys = delete_keys.select(*on).distinct()
+    removed = index.points.join(keys, on, "left_semi")
+    pts = index.points.join(keys, on, "left_anti")
     meta = _merge_meta(index.meta, _meta_of(removed, cfg), cfg, -1)
     if persist:
         pts, meta = pts.persist(), meta.persist()
@@ -285,18 +289,28 @@ class PersistentIndex:
         )
         touched = [r["pbucket"] for r in batch.select("pbucket").distinct().collect()]
         existing = spark.read.parquet(self.points_path)
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        for b in touched:
-            def _rewrite(b=b):
-                merged = existing.where(F.col("pbucket") == b).unionByName(
-                    batch.where(F.col("pbucket") == b).select(*existing.columns)
-                )
-                merged.sortWithinPartitions("morton").write.mode("overwrite").partitionBy("pbucket").parquet(
-                    self.points_path
-                )
-                return {"bucket": int(b)}
+        try:
+            for b in touched:
+                def _rewrite(b=b):
+                    # materialize BEFORE the overwrite: the lazy `existing`
+                    # still reads the parquet path being rewritten, so the
+                    # merged rows must be snapshot first (read-modify-write
+                    # safety — Iceberg MERGE gives this via snapshots)
+                    merged = (
+                        existing.where(F.col("pbucket") == b)
+                        .unionByName(batch.where(F.col("pbucket") == b).select(*existing.columns))
+                        .localCheckpoint(eager=True)
+                    )
+                    merged.sortWithinPartitions("morton").write.mode("overwrite").partitionBy(
+                        "pbucket"
+                    ).parquet(self.points_path)
+                    return {"bucket": int(b)}
 
-            ckpt.run(f"merge_bucket_{b}", _rewrite)
+                ckpt.run(f"merge_bucket_{b}", _rewrite)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
         def _refresh_meta():
             pts = spark.read.parquet(self.points_path).drop("pbucket")

@@ -157,3 +157,18 @@ def test_media_decode_stub(spark):
     assert (out["n_bytes"] == 96).all()
     # binary plumbing: content bytes really flowed through mapInPandas
     assert out["n_frames"].between(1, 240).all()
+
+
+def test_no_single_partition_window_in_text_plans(docs):
+    """Token ids are hash-computed inline (text.tok_id_col): no operator in
+    the fingerprint/minhash/simhash plans may funnel the vocabulary through
+    a single partition (the round-1 Window.orderBy anti-pattern)."""
+    for df in (
+        TX.fingerprint(docs),
+        DD.minhash_lsh_pairs(docs),
+        DD.simhash(docs),
+        DD.ngram_jaccard_pairs(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
