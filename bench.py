@@ -59,6 +59,7 @@ def run_suite() -> dict:
 
     times: dict[str, float] = {}
     thr: dict[str, float] = {}
+    knn_stats: dict[str, dict] = {}
 
     def timed(name: str, fn, items: int | None = None):
         t0 = time.time()
@@ -105,23 +106,37 @@ def run_suite() -> dict:
         idx[dist] = ix
         thr[f"build_{dist}"] = round(n_points / times[f"build_{dist}"], 1)
 
-        # batch 10-NN: in-distribution query sample of the input itself
-        # (batchQueryRatio=0.01, testFramework.h:24); capped at ~60k queries
-        # so driver-side query plumbing stays constant as input replicates
-        qmod = max(100, n_points // 60_000)
-        qpd = (
-            ix.points.where(F.col("key") % qmod == 3)
+        # batch 10-NN: in-distribution query sample of the input itself at
+        # the reference's TRUE 1% ratio (batchQueryRatio=0.01,
+        # testFramework.h:24) — the query set stays a DataFrame end-to-end,
+        # so there is no driver-side cap on query count
+        qdf = (
+            ix.points.where(F.col("key") % 100 == 3)
             .select(F.col("key").alias("qid"), F.col("x0").alias("q0"), F.col("x1").alias("q1"))
-            .toPandas()
-            .drop_duplicates("qid", ignore_index=True)
+            .dropDuplicates(["qid"])
+            .persist()
         )
+        nq = qdf.count()
         lvl = auto_knn_level(n_points, 2)
-        timed(
-            f"knn10_{dist}",
-            lambda ix=ix, qpd=qpd, lvl=lvl: knn(ix, qpd, k=10, level=lvl)
-            .groupBy().agg(F.sum("dist2")).collect(),
-            items=len(qpd),
-        )
+
+        def _knn_run(ix=ix, qdf=qdf, lvl=lvl):
+            res, stats = knn(ix, qdf, k=10, level=lvl, return_stats=True)
+            res.groupBy().agg(F.sum("dist2")).collect()
+            # V3 introspection (validation.hpp:72-124 analog): ring rounds +
+            # candidate rows scanned per query, aggregated
+            s = stats.agg(
+                F.avg("rounds").alias("avg_rounds"),
+                F.max("rounds").alias("max_rounds"),
+                F.avg("cand_rows").alias("avg_cand_rows"),
+            ).collect()[0]
+            knn_stats[dist] = {
+                "avg_ring_rounds": round(float(s["avg_rounds"]), 3),
+                "max_ring_rounds": int(s["max_rounds"]),
+                "avg_candidate_rows": round(float(s["avg_cand_rows"]), 1),
+            }
+
+        timed(f"knn10_{dist}", _knn_run, items=nq)
+        qdf.unpersist()
 
         # range count: mixed-selectivity boxes (reference summary uses 10^4;
         # scaled-up input uses more boxes so parallel scan work dominates)
@@ -180,6 +195,7 @@ def run_suite() -> dict:
         "cpus": CPUS,
         "replicate": REPLICATE,
         "throughput": thr,
+        "knn_stats": knn_stats,
     }
 
 

@@ -12,20 +12,41 @@ r of its home cell at a per-query grid level g (cell width w =
 ring granularity. Rings double until the (clipped) grid is exhausted, so
 termination is unconditional.
 
+The query set is a DataFrame END-TO-END (the reference's headline batch is
+10^7 queries, testFramework.h:470-520 with batchQueryRatio=0.01 at n=10^9 —
+far beyond what a driver pandas round-trip survives):
+  - ring-cell generation runs inside mapInPandas over the query table
+    (vectorized numpy per Arrow batch; the cover machinery's shape);
+  - per-round termination is a JOIN of the pending-query table against the
+    aggregated per-query stats — column expressions decide done/continue,
+    nothing per-query ever reaches the driver;
+  - per round the engine issues O(1) driver actions (two localCheckpoints
+    + one count), independent of query count;
+  - candidate-cell tables are broadcast only while small (cell count
+    threshold); past it the equi-join shuffles — AQE picks the strategy.
+Each round's heavy intermediates are persisted for the round and
+unpersisted before the next (no cache leak across rounds).
+
 Skew adaptivity (the kd-tree's density-adaptive depth, which a fixed grid
 lacks): a per-query level is chosen from a density ladder — point counts
-rolled up from a fine-level histogram — so queries inside dense Varden
-clusters use fine cells (small candidate sets) while queries in sparse
-space start coarse (few ring rounds). The histogram is one aggregation of
-the points table; at cluster scale it is broadcast instead of collected.
+rolled up from a (sampled) fine-level histogram — so queries inside dense
+Varden clusters use fine cells (small candidate sets) while queries in
+sparse space start coarse (few ring rounds). The histogram is one
+aggregation of the points table, consumed as a DataFrame by per-rung
+left joins (never collected).
 
-Physical plan per round: per-level broadcast equi-joins on the cell
-prefix, unioned, then a TWO-LEVEL partial top-k — slice(array_sort, k)
-per (qid, cell) first (map-side partial aggregation: a hot cell's
-candidates never cross the shuffle), then a per-qid merge of the <=
-cells*k survivors. This is the bounded queue of nn_search_helpers.h as an
+Physical plan per round: per-level equi-joins on the cell prefix,
+unioned, then a TWO-LEVEL partial top-k — slice(array_sort, k) per
+(qid, cell) first (map-side partial aggregation: a hot cell's candidates
+never cross the shuffle), then a per-qid merge of the <= cells*k
+survivors. This is the bounded queue of nn_search_helpers.h as an
 algebraic aggregate; no global window, no full candidate shuffle.
 All distances are exact int64 squared-L2.
+
+V3 introspection (validation.hpp:72-124, visited counter nn_search.hpp:85):
+with return_stats=True the result is accompanied by a per-query stats
+DataFrame (qid, rounds, cand_rows) — ring rounds taken and candidate rows
+scanned, the distributed analog of tree-depth / visited-node counts.
 """
 
 from __future__ import annotations
@@ -43,6 +64,14 @@ from .zorder import morton_encode_np
 
 __all__ = ["auto_knn_level", "knn", "knn_join"]
 
+# broadcast the candidate-cell table only below this many (qid, cell) rows;
+# above it the cell join shuffles (10^7-query batches must not be broadcast)
+BROADCAST_CELL_ROWS = 4_000_000
+HIST_SAMPLE_ROWS = 2_000_000
+
+RESULT_SCHEMA = "qid long, rn long, key long, doc_id string, span_idx long, dist2 long"
+STATS_SCHEMA = "qid long, rounds int, cand_rows long"
+
 
 def auto_knn_level(n: int, d: int, target_per_cell: int = 128, grid_bits: int = 20) -> int:
     """Global fallback level: a cell holds ~target rows under uniformity."""
@@ -52,35 +81,40 @@ def auto_knn_level(n: int, d: int, target_per_cell: int = 128, grid_bits: int = 
     return max(1, min(grid_bits, level))
 
 
-def _density_levels(
+def _assign_levels(
     index: SpatialIndex,
-    queries: pd.DataFrame,
+    qdf: DataFrame,
     k: int,
     level_floor: int,
     level_cap: int,
     target: int,
-) -> np.ndarray:
-    """Per-query grid level from a density ladder.
+) -> DataFrame:
+    """Append a per-query grid ``level`` column from a density ladder.
 
-    ONE aggregation computes the counts of every query's home cell at every
-    ladder level simultaneously (explode the point's (level, cell) pairs,
-    broadcast-semi-join against the queries' home cells, groupBy): the
-    collect is <= n_queries * ladder rows regardless of table size, and the
-    job count is constant — no per-level barrier. The descent itself is
-    then pure numpy. This recovers the kd-tree's density-adaptive depth
-    with a single extra pass over the cached points.
+    ONE aggregation computes a (lvl, cell, cnt) histogram of the points at
+    every ladder level (over a <=HIST_SAMPLE_ROWS sample — density only
+    picks levels, so sampling noise just moves a query one rung, which the
+    ring bound absorbs). The descent — deepen while the home cell's
+    3^d-neighborhood estimate exceeds the candidate target — is a cascade
+    of per-rung left joins + one CASE expression: fully distributed, the
+    histogram is never collected. This recovers the kd-tree's
+    density-adaptive depth (divide_rotate's data-driven splits) with a
+    single extra pass over the cached points.
     """
     d, kb, cb = index.cfg.dims, index.cfg.grid_bits, index.cfg.coord_bits
-    spark = index.points.sparkSession
-    q = np.stack([queries[f"q{j}"].to_numpy(dtype=np.int64) for j in range(d)], axis=1)
     # step-2 ladder: cell area jumps 4x (d=2) per rung, plenty of resolution
     # for a candidate-count target while halving the exploded histogram rows
     ladder = list(range(level_floor, level_cap + 1, 2))
-    home = {lvl: morton_encode_np(q >> (cb - lvl), bits=lvl) for lvl in ladder}
-    pairs = pd.concat(
-        [pd.DataFrame({"lvl": np.int32(lvl), "c": np.unique(home[lvl])}) for lvl in ladder],
-        ignore_index=True,
-    )
+    if len(ladder) == 1:
+        return qdf.withColumn("level", F.lit(ladder[0]).cast("int"))
+
+    src = index.points
+    scale = 1.0
+    n_est = int(index.meta.agg(F.sum("cnt")).collect()[0][0] or 0)  # tiny cached agg
+    if n_est > HIST_SAMPLE_ROWS:
+        frac = HIST_SAMPLE_ROWS / n_est
+        src = src.sample(fraction=frac, seed=42)
+        scale = 1.0 / frac
     lvl_cells = F.explode(
         F.array(
             *[
@@ -92,39 +126,38 @@ def _density_levels(
             ]
         )
     ).alias("s")
-    # density only picks levels, so a sampled histogram is plenty: cap the
-    # scanned rows at ~2M and scale counts back up (noise just moves a query
-    # one rung, which the ring bound absorbs)
-    src = index.points
-    scale = 1.0
-    n_est = int(index.meta.agg(F.sum("cnt")).collect()[0][0] or 0)  # tiny cached agg
-    if n_est > 2_000_000:
-        frac = 2_000_000 / n_est
-        src = src.sample(fraction=frac, seed=42)
-        scale = 1.0 / frac
     hist = (
         src.select(lvl_cells)
         .select(F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"))
-        .join(F.broadcast(spark.createDataFrame(pairs)), ["lvl", "c"])
         .groupBy("lvl", "c")
-        .count()
-        .toPandas()
+        .agg((F.count(F.lit(1)) * F.lit(scale)).cast("long").alias("hcnt"))
     )
-    tab = {(int(lvl), int(c)): int(n * scale) for lvl, c, n in hist.itertuples(index=False, name=None)}
 
-    levels = np.full(len(queries), level_floor, dtype=np.int64)
     thresh = max(target, 3 * k)
-    active = np.ones(len(queries), dtype=bool)
+    neigh = 3**d  # 3^d-neighborhood upper bound under local uniformity
+    q = qdf
+    for i, lvl in enumerate(ladder[:-1]):  # the last rung is the uncondit. fallback
+        home = _home_cell_expr(d, cb, lvl)
+        h = hist.where(F.col("lvl") == lvl).select(
+            F.col("c").alias(f"_hc{i}"), F.col("hcnt").alias(f"_cnt{i}")
+        )
+        q = q.join(h, home == F.col(f"_hc{i}"), "left").drop(f"_hc{i}")
+    # level = first rung whose neighborhood estimate fits the target
+    case = None
     for i, lvl in enumerate(ladder[:-1]):
-        cnts = np.array([tab.get((lvl, int(c)), 0) for c in home[lvl]], dtype=np.int64)
-        # 3^d-neighborhood estimate: home-cell count * 3^d (upper-bounds the
-        # block under local uniformity; conservative in cluster cores)
-        deepen = active & (cnts * (3**d) > thresh)
-        levels[deepen] = ladder[i + 1]
-        active = deepen
-        if not active.any():
-            break
-    return levels
+        cond = F.coalesce(F.col(f"_cnt{i}"), F.lit(0)) * neigh <= thresh
+        case = F.when(cond, lvl) if case is None else case.when(cond, lvl)
+    case = case.otherwise(ladder[-1])
+    keep = [c for c in qdf.columns]
+    return q.select(*keep, case.cast("int").alias("level"))
+
+
+def _home_cell_expr(d: int, cb: int, lvl: int):
+    """Morton home cell of a query at a grid level — pure JVM expression."""
+    from .zorder import morton_col
+
+    gcols = [F.shiftrightunsigned(F.col(f"q{j}"), cb - lvl) for j in range(d)]
+    return morton_col(gcols, d, lvl)
 
 
 def _candidate_cells(qpd: pd.DataFrame, d: int, coord_bits: int) -> pd.DataFrame:
@@ -151,68 +184,101 @@ def _candidate_cells(qpd: pd.DataFrame, d: int, coord_bits: int) -> pd.DataFrame
                 }
             ).drop_duplicates(ignore_index=True)
         )
+    if not frames:
+        return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                             "level": pd.Series(dtype="int32"),
+                             "cell": pd.Series(dtype="int64")})
     return pd.concat(frames, ignore_index=True)
 
 
 def knn(
     index: SpatialIndex,
-    queries: pd.DataFrame,
+    queries: pd.DataFrame | DataFrame,
     k: int = 10,
     level: int | None = None,
     max_rounds: int = 64,
     adaptive: bool = True,
     target_candidates: int = 256,
-) -> DataFrame:
-    """Exact batch kNN. queries: pandas (qid, q0..q{d-1}) int64.
+    return_stats: bool = False,
+):
+    """Exact batch kNN. queries: pandas OR Spark DataFrame (qid, q0..q{d-1})
+    int64 — the DataFrame path is the scale path (queries never touch the
+    driver).
 
     Returns (qid, rn, key, doc_id, span_idx, dist2), rn in 1..k, ordered by
     (dist2, key, span_idx); duplicate points count as distinct neighbors
     (multiset semantics — dummy-leaf multiplicity, build_tree.hpp:183-186).
+    With return_stats=True returns (result, stats) where stats is a
+    per-query (qid, rounds, cand_rows) DataFrame (V3 introspection).
     """
     spark = index.points.sparkSession
     cfg: EngineConfig = index.cfg
     d, kb, cb = cfg.dims, cfg.grid_bits, cfg.coord_bits
+    qcols = [f"q{j}" for j in range(d)]
+
+    if isinstance(queries, pd.DataFrame):
+        if queries.empty:
+            empty = spark.createDataFrame([], schema=RESULT_SCHEMA)
+            return (empty, spark.createDataFrame([], schema=STATS_SCHEMA)) if return_stats else empty
+        qdf = spark.createDataFrame(queries[["qid"] + qcols])
+    else:
+        qdf = queries.select("qid", *qcols)
 
     if level is None:
         level = cfg.knn_level
     level = min(level, kb)
-    pend = queries.copy()
     if adaptive:
         cap = min(kb, level + 10)
-        pend["level"] = _density_levels(index, pend, k, level, cap, target_candidates)
+        qdf = _assign_levels(index, qdf, k, level, cap, target_candidates)
     else:
-        pend["level"] = level
-    pend["r"] = 1
+        qdf = qdf.withColumn("level", F.lit(level).cast("int"))
 
-    qcols = [f"q{j}" for j in range(d)]
+    pend = qdf.withColumn("r", F.lit(1).cast("long")).localCheckpoint(eager=True)
+    n_pend = pend.count()
+
     dist2 = None
     for j in range(d):
         t = (F.col(f"x{j}") - F.col(f"q{j}")) * (F.col(f"x{j}") - F.col(f"q{j}"))
         dist2 = t if dist2 is None else dist2 + t
+    entry = F.struct(
+        dist2.cast("long").alias("dist2"),
+        F.col("key"),
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("doc_id"),
+    )
+
+    def _gen_cells(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _candidate_cells(pdf, d, cb)
 
     result_parts: list[DataFrame] = []
+    stats_parts: list[DataFrame] = []
 
-    for _ in range(max_rounds):
-        if pend.empty:
+    for rnd in range(1, max_rounds + 1):
+        if n_pend == 0:
             break
-        cand_cells = _candidate_cells(pend, d, cb)
-        qdf = F.broadcast(spark.createDataFrame(pend[["qid"] + qcols]))
+        # ring-cell generation INSIDE executors (data-independent per query)
+        cells = pend.mapInPandas(_gen_cells, schema="qid long, level int, cell long").persist()
+        n_cells = cells.count()  # materializes the cache; also the broadcast decision
+        bcast = n_cells <= BROADCAST_CELL_ROWS
+        levels = sorted(r["level"] for r in pend.select("level").distinct().collect())  # <= ladder size
+
         branches = []
-        for lvl, grp in cand_cells.groupby("level"):
-            cells_df = F.broadcast(spark.createDataFrame(grp[["qid", "cell"]]))
-            p = index.points.withColumn("pcell", F.shiftrightunsigned("morton", d * (kb - int(lvl))))
-            branches.append(p.join(cells_df, p.pcell == cells_df.cell))
+        for lvl in levels:
+            cl = cells.where(F.col("level") == lvl).select("qid", "cell")
+            if bcast:
+                cl = F.broadcast(cl)
+            p = index.points.withColumn("pcell", F.shiftrightunsigned("morton", d * (kb - lvl)))
+            branches.append(p.join(cl, p.pcell == cl.cell).drop("cell"))
         cand = branches[0]
         for b in branches[1:]:
             cand = cand.unionByName(b)
-        cand = cand.join(qdf, "qid")
+        qside = pend.select("qid", *qcols)
+        if n_pend <= BROADCAST_CELL_ROWS:
+            qside = F.broadcast(qside)
+        cand = cand.join(qside, "qid")
 
-        entry = F.struct(
-            dist2.cast("long").alias("dist2"),
-            F.col("key"),
-            F.col("span_idx").cast("long").alias("span_idx"),
-            F.col("doc_id"),
-        )
         lvl1 = cand.groupBy("qid", "pcell").agg(
             F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("tk"),
             F.count(F.lit(1)).alias("c"),
@@ -225,36 +291,48 @@ def knn(
             )
             .persist()
         )
-        stats = (
-            lvl2.select("qid", "cnt", F.try_element_at(F.col("tk"), F.lit(k)).getField("dist2").alias("kth"))
-            .toPandas()
-            .set_index("qid")
+        st = lvl2.select(
+            "qid", "tk", "cnt",
+            F.try_element_at(F.col("tk"), F.lit(k)).getField("dist2").alias("kth"),
         )
 
-        w_arr = (1 << (cb - pend["level"].to_numpy())).astype(np.int64)
-        r_arr = pend["r"].to_numpy()
-        covered_all = (2 * r_arr + 1) >= 2 * (1 << pend["level"].to_numpy())
-        st = stats.reindex(pend["qid"])
-        cnt = st["cnt"].fillna(0).to_numpy()
-        kth = st["kth"].to_numpy(dtype="float64")  # NaN when cnt < k
-        ok = (cnt >= k) & (np.nan_to_num(kth, nan=np.inf) <= (r_arr * w_arr).astype("float64") ** 2)
-        done_mask = ok | (covered_all & (cnt > 0))
-        drop_mask = covered_all & (cnt == 0)  # empty table for this query
-        done = pend.loc[done_mask, "qid"].tolist()
-        if done:
-            done_df = F.broadcast(spark.createDataFrame(pd.DataFrame({"qid": done})))
-            result_parts.append(lvl2.join(done_df, "qid", "left_semi"))
-        pend = pend[~(done_mask | drop_mask)].copy()
-        pend["r"] = pend["r"] * 2
+        # termination as COLUMN expressions over pend ⋈ stats — the ring
+        # lower bound (r*w)^2 vs kth distance (nn_search.hpp:121-123)
+        j = pend.join(st, "qid", "left")
+        cnt0 = F.coalesce(F.col("cnt"), F.lit(0))
+        rw2_ok = F.col("kth").isNotNull() & (
+            F.col("kth") <= F.expr(f"shiftleft(r, CAST({cb} - level AS INT)) * shiftleft(r, CAST({cb} - level AS INT))")
+        )
+        covered_all = F.expr("2 * r + 1") >= F.expr("shiftleft(CAST(2 AS BIGINT), level)")
+        done = ((cnt0 >= k) & rw2_ok) | (covered_all & (cnt0 > 0))
+        drop = covered_all & (cnt0 == 0)
+
+        res_round = (
+            j.where(done)
+            .select("qid", "tk", F.lit(rnd).cast("int").alias("rounds"), cnt0.alias("cand_rows"))
+            .localCheckpoint(eager=True)
+        )
+        result_parts.append(res_round)
+        if return_stats:
+            stats_parts.append(res_round.select("qid", "rounds", "cand_rows"))
+
+        new_pend = (
+            j.where(~done & ~drop)
+            .select("qid", *qcols, "level", (F.col("r") * 2).alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        n_pend = new_pend.count()
+        lvl2.unpersist()
+        cells.unpersist()
+        pend = new_pend
 
     if not result_parts:
-        return spark.createDataFrame(
-            [], schema="qid long, rn long, key long, doc_id string, span_idx long, dist2 long"
-        )
+        empty = spark.createDataFrame([], schema=RESULT_SCHEMA)
+        return (empty, spark.createDataFrame([], schema=STATS_SCHEMA)) if return_stats else empty
     allres = result_parts[0]
     for p in result_parts[1:]:
         allres = allres.unionByName(p)
-    return allres.select("qid", F.posexplode("tk").alias("pos", "s")).select(
+    out = allres.select("qid", F.posexplode("tk").alias("pos", "s")).select(
         "qid",
         (F.col("pos") + 1).cast("long").alias("rn"),
         F.col("s.key").alias("key"),
@@ -262,17 +340,23 @@ def knn(
         F.col("s.span_idx").cast("long").alias("span_idx"),
         F.col("s.dist2").alias("dist2"),
     )
+    if return_stats:
+        stats = stats_parts[0]
+        for p in stats_parts[1:]:
+            stats = stats.unionByName(p)
+        return out, stats
+    return out
 
 
 def knn_join(index: SpatialIndex, k: int = 10, sample_mod: int = 100, sample_val: int = 3) -> DataFrame:
     """kNN-graph builder (S5 analog, testFramework.h:742-815): kNN of a
     deterministic 1%-style sample of the points against the index; output
     edges (src=qid, rn, dst=key, dist2) writeable as a weighted adjacency
-    list via edges.write.parquet(...)."""
-    qpd = (
+    list via edges.write.parquet(...). The query sample stays a DataFrame —
+    no driver round-trip, so the 1% ratio holds at any n."""
+    qdf = (
         index.points.where(F.col("key") % sample_mod == sample_val)
         .select(F.col("key").alias("qid"), *[F.col(f"x{j}").alias(f"q{j}") for j in range(index.cfg.dims)])
-        .toPandas()
-        .drop_duplicates("qid", ignore_index=True)
+        .dropDuplicates(["qid"])
     )
-    return knn(index, qpd, k=k)
+    return knn(index, qdf, k=k)

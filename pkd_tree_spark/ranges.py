@@ -62,12 +62,13 @@ def ball_queries_df(spark: SparkSession, balls: pd.DataFrame) -> DataFrame:
 DISTRIBUTED_COVER_THRESHOLD = 4000
 
 
-def _covers_distributed(spark, qpd: pd.DataFrame, kind: str, cfg, budget: int) -> pd.DataFrame:
+def _covers_distributed(spark, qpd: pd.DataFrame, kind: str, cfg, budget: int) -> DataFrame:
     """Compute cell covers INSIDE executors (mapInPandas over the query set)
-    instead of on the driver — the cover is data-independent and
-    embarrassingly parallel per query, so for large query batches this
-    removes the driver's serial floor (the 100TB path; driver-side is fine
-    for hundreds of queries)."""
+    and keep them there: the result is a DataFrame that feeds the cell
+    joins directly — covers are NEVER collected to the driver (10^7 queries
+    x up-to-512 cells would not fit). The cover is data-independent and
+    embarrassingly parallel per query; driver-side stays fine for hundreds
+    of queries (the pandas branch below)."""
     d = cfg.dims
 
     def gen(batches):
@@ -90,19 +91,49 @@ def _covers_distributed(spark, qpd: pd.DataFrame, kind: str, cfg, budget: int) -
             yield cover_regions(regions, cfg, budget)
 
     qdf = spark.createDataFrame(qpd).repartition(cfg.partitions)
-    return qdf.mapInPandas(gen, schema="qid long, level int, cell long, interior boolean").toPandas()
+    # eager localCheckpoint: computed once, reused by every per-level branch
+    # without re-running the cover generation (and no persist leak)
+    return qdf.mapInPandas(gen, schema="qid long, level int, cell long, interior boolean").localCheckpoint(
+        eager=True
+    )
 
 
-def _covers_for_boxes(spark, boxes: pd.DataFrame, cfg, budget: int) -> pd.DataFrame:
+def _covers_for_boxes(spark, boxes: pd.DataFrame, cfg, budget: int):
     if len(boxes) > DISTRIBUTED_COVER_THRESHOLD:
         return _covers_distributed(spark, boxes, "box", cfg, budget)
     return cover_regions(_box_regions(boxes, cfg.dims), cfg, budget)
 
 
-def _covers_for_balls(spark, balls: pd.DataFrame, cfg, budget: int) -> pd.DataFrame:
+def _covers_for_balls(spark, balls: pd.DataFrame, cfg, budget: int):
     if len(balls) > DISTRIBUTED_COVER_THRESHOLD:
         return _covers_distributed(spark, balls, "ball", cfg, budget)
     return cover_regions(_ball_regions(balls, cfg.dims), cfg, budget)
+
+
+def _cover_levels(covers) -> list[int]:
+    """Distinct cover levels — from the pandas frame directly, or one tiny
+    distinct-collect (<= index_level+1 rows, independent of query count)."""
+    if isinstance(covers, pd.DataFrame):
+        return sorted(int(v) for v in covers["level"].unique())
+    return sorted(r["level"] for r in covers.select("level").distinct().collect())
+
+
+def _cover_slice(spark, covers, level: int, interior: bool | None):
+    """Covers at one level (qid, cell, interior) as a DataFrame, or None if
+    provably empty. pandas covers (small) come back broadcast-hinted;
+    DataFrame covers are left unhinted — the cell join shuffles and AQE
+    picks the strategy (the large-batch path)."""
+    if isinstance(covers, pd.DataFrame):
+        sel = covers[covers.level == level]
+        if interior is not None:
+            sel = sel[sel.interior == interior] if interior else sel[~sel.interior]
+        if sel.empty:
+            return None
+        return F.broadcast(spark.createDataFrame(sel[["qid", "cell", "interior"]]))
+    sel = covers.where(F.col("level") == level)
+    if interior is not None:
+        sel = sel.where(F.col("interior") == interior)
+    return sel.select("qid", "cell", "interior")
 
 
 def _box_regions(boxes: pd.DataFrame, d: int):
@@ -157,51 +188,55 @@ def _polygon_pred() -> Column:
 # core two-branch plan
 # ---------------------------------------------------------------------------
 
-def _interior_counts(index: SpatialIndex, covers: pd.DataFrame) -> DataFrame | None:
+def _interior_counts(index: SpatialIndex, covers) -> DataFrame | None:
     """SUM per-cell metadata counts for fully-contained cover cells —
-    answers without touching point rows (range_count.hpp:79-80 analog)."""
+    answers without touching point rows (range_count.hpp:79-80 analog).
+    ``covers`` is pandas (small batch) or a DataFrame (large batch)."""
     spark = index.points.sparkSession
     d, L = index.cfg.dims, index.cfg.index_level
-    inter = covers[covers.interior]
-    if inter.empty:
-        return None
     parts = []
-    for level, grp in inter.groupby("level"):
-        cdf = F.broadcast(spark.createDataFrame(grp[["qid", "cell"]]))
+    for level in _cover_levels(covers):
+        cdf = _cover_slice(spark, covers, level, interior=True)
+        if cdf is None:
+            continue
+        cdf = cdf.select("qid", F.col("cell").alias("qcell"))
         shift = d * (L - int(level))
         m = index.meta.withColumn("pcell", F.shiftrightunsigned("cell", shift) if shift else F.col("cell"))
         parts.append(
-            m.join(cdf, m.pcell == cdf.cell).groupBy("qid").agg(F.sum("cnt").alias("cnt"))
+            m.join(cdf, m.pcell == cdf.qcell).groupBy("qid").agg(F.sum("cnt").alias("cnt"))
         )
+    if not parts:
+        return None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
 
 
-def _boundary_candidates(index: SpatialIndex, covers: pd.DataFrame, interior_too: bool = False) -> DataFrame | None:
-    """Point rows inside cover cells, tagged with qid (per-level broadcast
-    equi-joins on the Morton prefix — the candidate-generation join)."""
+def _boundary_candidates(index: SpatialIndex, covers, interior_too: bool = False) -> DataFrame | None:
+    """Point rows inside cover cells, tagged with qid (per-level equi-joins
+    on the Morton prefix — the candidate-generation join; broadcast for
+    small cover sets, shuffle join for DataFrame covers)."""
     spark = index.points.sparkSession
     d, gb = index.cfg.dims, index.cfg.grid_bits
-    sel = covers if interior_too else covers[~covers.interior]
-    if sel.empty:
-        return None
     parts = []
-    for level, grp in sel.groupby("level"):
-        cdf = F.broadcast(
-            spark.createDataFrame(grp[["qid", "cell", "interior"]].rename(columns={"cell": "qcell"}))
-        )
+    for level in _cover_levels(covers):
+        cdf = _cover_slice(spark, covers, level, interior=None if interior_too else False)
+        if cdf is None:
+            continue
+        cdf = cdf.select("qid", F.col("cell").alias("qcell"), "interior")
         shift = d * (gb - int(level))
         pts = index.points.withColumn("pcell", F.shiftrightunsigned("morton", shift))
         parts.append(pts.join(cdf, pts.pcell == cdf.qcell).drop("pcell", "qcell"))
+    if not parts:
+        return None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
 
 
-def _finalize_counts(queries_df: DataFrame, branches: list[DataFrame | None]) -> DataFrame:
+def _finalize_counts(queries_df: DataFrame, branches: list[DataFrame | None], small: bool) -> DataFrame:
     live = [b for b in branches if b is not None]
     if not live:
         return queries_df.select("qid", F.lit(0).cast("long").alias("cnt"))
@@ -209,25 +244,28 @@ def _finalize_counts(queries_df: DataFrame, branches: list[DataFrame | None]) ->
     for b in live[1:]:
         u = u.unionByName(b)
     agg = u.groupBy("qid").agg(F.sum("cnt").alias("cnt"))
+    if small:
+        agg = F.broadcast(agg)  # agg is <= one row per query
     return (
         queries_df.select("qid")
-        .join(F.broadcast(agg), "qid", "left")  # agg is <= one row per query
+        .join(agg, "qid", "left")
         .select("qid", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"))
     )
 
 
-def _count_plan(index: SpatialIndex, queries_df: DataFrame, covers: pd.DataFrame, exact_pred: Column) -> DataFrame:
+def _count_plan(index: SpatialIndex, queries_df: DataFrame, covers, exact_pred: Column, small: bool = True) -> DataFrame:
     interior = _interior_counts(index, covers)
     cand = _boundary_candidates(index, covers)
     boundary = None
     if cand is not None:
+        q = F.broadcast(queries_df) if small else queries_df
         boundary = (
-            cand.join(F.broadcast(queries_df), "qid")
+            cand.join(q, "qid")
             .where(exact_pred)
             .groupBy("qid")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-    return _finalize_counts(queries_df, [interior, boundary])
+    return _finalize_counts(queries_df, [interior, boundary], small)
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +280,7 @@ def range_count_boxes(index: SpatialIndex, boxes: pd.DataFrame, budget: int = 51
     qdf = box_queries_df(spark, boxes)
     return _count_plan(index, qdf, covers, _and_all(
         [F.col(f"x{j}").between(F.col(f"lo{j}"), F.col(f"hi{j}")) for j in range(d)]
-    ))
+    ), small=len(boxes) <= DISTRIBUTED_COVER_THRESHOLD)
 
 
 def range_count_balls(index: SpatialIndex, balls: pd.DataFrame, budget: int = 512) -> DataFrame:
@@ -251,7 +289,8 @@ def range_count_balls(index: SpatialIndex, balls: pd.DataFrame, budget: int = 51
     d = index.cfg.dims
     covers = _covers_for_balls(spark, balls, index.cfg, budget)
     qdf = ball_queries_df(spark, balls)
-    return _count_plan(index, qdf, covers, _ball_pred(d))
+    return _count_plan(index, qdf, covers, _ball_pred(d),
+                       small=len(balls) <= DISTRIBUTED_COVER_THRESHOLD)
 
 
 def range_report_boxes(index: SpatialIndex, boxes: pd.DataFrame, budget: int = 512) -> DataFrame:
@@ -262,16 +301,17 @@ def range_report_boxes(index: SpatialIndex, boxes: pd.DataFrame, budget: int = 5
     """
     spark = index.points.sparkSession
     d = index.cfg.dims
-    covers = cover_regions(_box_regions(boxes, d), index.cfg, budget)
+    covers = _covers_for_boxes(spark, boxes, index.cfg, budget)  # same dispatch as counts
     cand = _boundary_candidates(index, covers, interior_too=True)
     cols = ["qid", "doc_id", "span_idx", "key"] + [f"x{j}" for j in range(d)]
     if cand is None:
         return spark.createDataFrame([], schema="qid long, doc_id string, span_idx int, key long, "
                                       + ", ".join(f"x{j} long" for j in range(d)))
+    small = len(boxes) <= DISTRIBUTED_COVER_THRESHOLD
     qdf = box_queries_df(spark, boxes)
     pred = _and_all([F.col(f"x{j}").between(F.col(f"lo{j}"), F.col(f"hi{j}")) for j in range(d)])
     return (
-        cand.join(F.broadcast(qdf), "qid")
+        cand.join(F.broadcast(qdf) if small else qdf, "qid")
         .where(F.col("interior") | pred)
         .select(*cols)
     )
@@ -289,9 +329,10 @@ def range_report_balls(index: SpatialIndex, balls: pd.DataFrame, budget: int = 5
     if cand is None:
         return spark.createDataFrame([], schema="qid long, doc_id string, span_idx int, key long, "
                                       + ", ".join(f"x{j} long" for j in range(d)))
+    small = len(balls) <= DISTRIBUTED_COVER_THRESHOLD
     qdf = ball_queries_df(spark, balls)
     return (
-        cand.join(F.broadcast(qdf), "qid")
+        cand.join(F.broadcast(qdf) if small else qdf, "qid")
         .where(F.col("interior") | _ball_pred(d))
         .select(*cols)
     )

@@ -110,8 +110,24 @@ def test_distributed_covers_match_driver_side(spark):
         .reset_index(drop=True)
     )
     got = (
-        _covers_distributed(spark, boxes, "box", cfg, 256)
+        _covers_distributed(spark, boxes, "box", cfg, 256)  # now a DataFrame (never collected in prod)
+        .toPandas()
         .sort_values(["qid", "level", "cell"])
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_large_batch_count_uses_dataframe_covers(index_uniform, points_uniform):
+    """Above DISTRIBUTED_COVER_THRESHOLD the covers feed the cell joins as a
+    DataFrame — never collected — and counts still match the small-batch
+    (driver-side covers) plan on the same queries."""
+    from pkd_tree_spark import ranges as R
+
+    nq = R.DISTRIBUTED_COVER_THRESHOLD + 200
+    boxes = FX.box_fixtures(nq, 2)
+    big = range_count_boxes(index_uniform, boxes).toPandas().set_index("qid")["cnt"]
+    # force the driver-side path on a subset and compare
+    sub = boxes.head(64)
+    small = range_count_boxes(index_uniform, sub).toPandas().set_index("qid")["cnt"]
+    assert (big.loc[small.index] == small).all()
