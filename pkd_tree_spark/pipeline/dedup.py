@@ -185,26 +185,158 @@ def quantized_embeddings(emb: DataFrame, scale: int = 1000) -> DataFrame:
     return out.select("vec_id", "qv", norm2.alias("norm2"))
 
 
-def embedding_dup_pairs(emb: DataFrame, permille: int = EMB_DUP_PERMILLE) -> DataFrame:
-    """Near-duplicate vector pairs by exact integer cosine^2 test:
-    (1000*dot)^2 >= permille^2 * na * nb, dot > 0 — evaluated in decimal so
-    the cross-multiplication never overflows. (vec_a, vec_b, dot).
+EMB_BLOCK_PLANES = 4  # 2^4 = 16 direction-coherent blocks
 
-    Brute-force O(n^2) candidate pair join — the correctness baseline; the
-    scale path is similarity.ann_lsh's bucketed variant."""
-    q = quantized_embeddings(emb)
-    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), F.col("norm2").alias("na"))
-    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"), F.col("norm2").alias("nb"))
-    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
-    dec = "decimal(38,0)"
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dot", dot)
-        .where(F.col("dot") > 0)
-        .where(
-            (F.col("dot").cast(dec) * F.col("dot").cast(dec) * F.lit(1_000_000).cast(dec))
-            >= (F.lit(permille * permille).cast(dec) * F.col("na").cast(dec) * F.col("nb").cast(dec))
-        )
+
+def embedding_dup_pairs(
+    emb: DataFrame, permille: int = EMB_DUP_PERMILLE, block_planes: int = EMB_BLOCK_PLANES
+) -> DataFrame:
+    """Near-duplicate vector pairs by EXACT integer cosine^2 test:
+    (1000*dot)^2 >= permille^2 * na * nb, dot > 0. (vec_a, vec_b, dot).
+
+    Scale shape (replaces the round-1 crossJoin): an exact blocked
+    all-pairs similarity join with angular pruning —
+
+      1. vectors are hashed into 2^block_planes direction-coherent blocks
+         (hyperplane LSH bucket: similar directions land together);
+      2. per block, one aggregation pass yields centroid + angular radius
+         (max angle of a member to the centroid) — O(blocks) driver data,
+         constant in n;
+      3. block PAIRS are pruned by the spherical triangle inequality:
+         angle(u, v) >= angle(c_a, c_b) - r_a - r_b for u in a, v in b, so
+         a pair of blocks whose best-case cosine (with a float safety
+         margin) is below the threshold provably contains no result pair —
+         EXACT pruning, unlike LSH candidate generation (the result pairs
+         here sit ON the 0.25 threshold, where any hash scheme loses pairs);
+      4. surviving block pairs compute their n_a x n_b dot products as one
+         vectorized numpy matmul inside applyInPandas (Arrow-batched), with
+         a cheap float prescreen and an exact arbitrary-precision integer
+         check on the survivors.
+
+    Work is Θ(sum over surviving block pairs of n_a*n_b) — quadratic in the
+    worst case (a dense 0.25-threshold all-pairs join over DENSE vectors
+    has no sub-quadratic exact algorithm) but pruned hard on clustered
+    data, balanced into block-pair tasks, and each vector is shuffled at
+    most once per surviving partner block (vs the crossJoin's n copies).
+    The approximate scale path with recall dialed by probe count remains
+    similarity.ann_lsh."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import lsh_bucket_col
+
+    spark = emb.sparkSession
+    thr = permille / 1000.0
+    q = (
+        quantized_embeddings(emb)
+        .where(F.col("norm2") > 0)  # zero vectors can never satisfy dot > 0
+        .withColumn("blk", lsh_bucket_col("qv", 0, block_planes).cast("int"))
+        .persist()
     )
-    return pairs.select("vec_a", "vec_b", "dot")
+
+    # --- block summaries: centroid (explode + groupBy: scales) ------------
+    cent_pd = (
+        q.select("blk", F.posexplode("qv").alias("i", "e"))
+        .groupBy("blk", "i")
+        .agg(F.sum("e").alias("se"), F.count(F.lit(1)).alias("n"))
+        .toPandas()  # <= blocks * dims rows — constant in table size
+    )
+    blks = sorted(cent_pd.blk.unique())
+    dims = int(cent_pd.i.max()) + 1
+    C = np.zeros((len(blks), dims))
+    bidx = {b: i for i, b in enumerate(blks)}
+    for b, i, se, n in cent_pd[["blk", "i", "se", "n"]].itertuples(index=False, name=None):
+        C[bidx[b], i] = se / n
+    Cn = np.linalg.norm(C, axis=1)
+
+    # --- per-block angular radius: one mapInPandas pass + tiny agg --------
+    def _mincos(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qv"].to_numpy()).astype("float64")
+            b = pdf["blk"].to_numpy()
+            c = C[np.vectorize(bidx.get)(b)]
+            cn = Cn[np.vectorize(bidx.get)(b)]
+            vn = np.linalg.norm(V, axis=1)
+            denom = vn * cn
+            cos = np.where(denom > 0, (V * c).sum(1) / np.maximum(denom, 1e-300), -1.0)
+            yield pd.DataFrame({"blk": b, "mc": cos})
+
+    rad_pd = (
+        q.select("blk", "qv")
+        .mapInPandas(_mincos, schema="blk int, mc double")
+        .groupBy("blk")
+        .agg(F.min("mc").alias("mc"))
+        .toPandas()
+    )
+    radius = np.full(len(blks), np.pi)
+    for b, mc in rad_pd[["blk", "mc"]].itertuples(index=False, name=None):
+        radius[bidx[b]] = np.arccos(np.clip(mc, -1.0, 1.0))
+
+    # --- exact block-pair pruning (driver numpy over B^2 — B is tiny) -----
+    with np.errstate(invalid="ignore"):
+        cc = (C @ C.T) / np.maximum(np.outer(Cn, Cn), 1e-300)
+    theta = np.arccos(np.clip(cc, -1.0, 1.0))
+    best = np.cos(np.maximum(theta - radius[:, None] - radius[None, :] - 1e-6, 0.0))
+    keep = best >= thr - 1e-6  # float safety margin: never prunes a true pair
+    pair_rows = [
+        (int(blks[i]), int(blks[j]))
+        for i in range(len(blks))
+        for j in range(i, len(blks))
+        if keep[i, j]
+    ]
+    if not pair_rows:
+        q.unpersist()
+        return spark.createDataFrame([], schema="vec_a long, vec_b long, dot long")
+    pairs = spark.createDataFrame(pd.DataFrame(pair_rows, columns=["blk_a", "blk_b"]))
+
+    # --- surviving block pairs: vectorized GEMM + exact integer check -----
+    side_a = (
+        q.join(F.broadcast(pairs), q.blk == pairs.blk_a)
+        .select(F.concat_ws("_", "blk_a", "blk_b").alias("pk"), F.lit(0).alias("side"), "vec_id", "qv", "norm2")
+    )
+    side_b = (
+        q.join(F.broadcast(pairs), q.blk == pairs.blk_b)
+        .select(F.concat_ws("_", "blk_a", "blk_b").alias("pk"), F.lit(1).alias("side"), "vec_id", "qv", "norm2")
+    )
+    both = side_a.unionByName(side_b)
+    t2 = permille * permille
+
+    def _pair_gemm(key, pdf):
+        A = pdf[pdf["side"] == 0]
+        B = pdf[pdf["side"] == 1]
+        if not len(A) or not len(B):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "dot": []}).astype("int64")
+        Va = np.stack(A["qv"].to_numpy()).astype("int64")
+        Vb = np.stack(B["qv"].to_numpy()).astype("int64")
+        ia, ib = A["vec_id"].to_numpy(), B["vec_id"].to_numpy()
+        na, nb = A["norm2"].to_numpy(), B["norm2"].to_numpy()
+        D = Va @ Vb.T  # |e| <= ~16e3, d=64 -> |dot| < 2^45: int64-safe
+        # ia != ib (not <): in a cross-block group each vector sits on ONE
+        # side, so the smaller id may be on either side; output (min, max)
+        ii, jj = np.nonzero((D > 0) & (ia[:, None] != ib[None, :]))
+        if not len(ii):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "dot": []}).astype("int64")
+        d0 = D[ii, jj]
+        # float prescreen with margin (float factors first: int64 t2*na*nb
+        # would overflow), exact object-int check on survivors
+        pre = d0.astype("float64") ** 2 * 1e6 >= (
+            na[ii].astype("float64") * nb[jj].astype("float64") * t2
+        ) * (1 - 1e-9)
+        ii, jj, d0 = ii[pre], jj[pre], d0[pre]
+        ok = np.fromiter(
+            (int(d) * int(d) * 1_000_000 >= t2 * int(x) * int(y) for d, x, y in zip(d0, na[ii], nb[jj])),
+            dtype=bool, count=len(d0),
+        )
+        va, vb = ia[ii[ok]], ib[jj[ok]]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(va, vb), "vec_b": np.maximum(va, vb), "dot": d0[ok]}
+        ).astype("int64")
+
+    out = (
+        both.groupBy("pk")
+        .applyInPandas(_pair_gemm, schema="vec_a long, vec_b long, dot long")
+        .dropDuplicates(["vec_a", "vec_b"])  # self-pair blocks emit each pair once; cross pairs are unique
+    )
+    return out
