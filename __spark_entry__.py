@@ -46,10 +46,11 @@ WINDOW_LEN = 5
 _CFG = EngineConfig(dims=D, index_level=6, knn_level=5, partitions=32)
 _CFG3 = EngineConfig(dims=3, index_level=4, knn_level=3, partitions=32)
 _CFG5 = EngineConfig(dims=5, index_level=3, knn_level=2, partitions=32)
+_CFG7 = EngineConfig(dims=7, index_level=2, knn_level=1, partitions=32)  # grid_bits=63//7=9
 
 
 def _build(spark: SparkSession, sf_dir: str, dist: str, dims: int = D) -> SpatialIndex:
-    cfg = {2: _CFG, 3: _CFG3, 5: _CFG5}[dims]
+    cfg = {2: _CFG, 3: _CFG3, 5: _CFG5, 7: _CFG7}[dims]
     return SpatialIndex.build(load_points(spark, sf_dir, dims=dims, dist=dist), cfg)
 
 
@@ -174,13 +175,29 @@ def _q_count_polygon(dist: str):
     return fn
 
 
-def _q_knn(dist: str, state: str = "base"):
+def _q_knn(dist: str, state: str = "base", k: int = KNN_K):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = _updated_index(spark, sf_dir, dist, state)
         n = idx.points.count()
-        res = knn(idx, FX.knn_fixtures(NQ_KNN, D), k=KNN_K, level=auto_knn_level(n, D))
+        res = knn(idx, FX.knn_fixtures(NQ_KNN, D), k=k, level=auto_knn_level(n, D))
         return res.select("qid", "rn", "key", "dist2")
     return fn
+
+
+def _q_sliding_window_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 analog: timestamped CSV ingest; the sliding window is driven by
+    the TIME column (period = year(ts)), not key arithmetic."""
+    import tempfile
+
+    from pkd_tree_spark.ingest import period_batches, read_timestamped_csv, write_timestamped_csv
+
+    tmp = tempfile.mkdtemp(prefix="pkd_ts_csv_")
+    write_timestamped_csv(spark, sf_dir, tmp, dims=D)
+    pts = read_timestamped_csv(spark, tmp, dims=D)
+    nots = pts.drop("ts")
+    idx = SpatialIndex.build(nots.where(F.lit(False)), _CFG)  # start empty
+    idx = sliding_window(idx, period_batches(pts), window_len=WINDOW_LEN)
+    return _grid_cells(idx, WINDOW_LEVEL)
 
 
 def _q_sliding_window(dist: str):
@@ -262,9 +279,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_count_box_inserted": _q_count_box("uniform", state="inserted"),
         "spatial_range_count_box_updated": _q_count_box("uniform", state="updated"),
         "spatial_sliding_window_cells": _q_sliding_window("uniform"),
+        "spatial_sliding_window_time": _q_sliding_window_time,
         "spatial_range_count_box_d3": _q_count_box_dn("uniform", 3),
         "spatial_range_count_box_d5": _q_count_box_dn("uniform", 5),
+        "spatial_range_count_box_d7": _q_count_box_dn("uniform", 7),
         "spatial_knn_d3": _q_knn_d3("uniform"),
+        "spatial_knn_k1": _q_knn("uniform", k=1),
+        "spatial_knn_k100": _q_knn("uniform", k=100),
         "spatial_knn_graph": _q_knn_graph,
         "spatial_raster_to_vector": _q_raster_to_vector,
         "spatial_vector_to_raster": _q_vector_to_raster,
@@ -303,9 +324,13 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range_count_box_inserted": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "inserted"),
         "spatial_range_count_box_updated": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "updated"),
         "spatial_sliding_window_cells": OR.sliding_window_cells_sql(WINDOW_LEVEL, WINDOW_LEN, D, "uniform"),
+        "spatial_sliding_window_time": OR.sliding_window_time_cells_sql(WINDOW_LEVEL, WINDOW_LEN, D),
         "spatial_range_count_box_d3": OR.range_count_box_sql(NQ_BOX, 3, "uniform"),
         "spatial_range_count_box_d5": OR.range_count_box_sql(NQ_BOX, 5, "uniform"),
+        "spatial_range_count_box_d7": OR.range_count_box_sql(NQ_BOX, 7, "uniform"),
         "spatial_knn_d3": OR.knn_sql(NQ_KNN, KNN_K, 3, "uniform"),
+        "spatial_knn_k1": OR.knn_sql(NQ_KNN, 1, D, "uniform"),
+        "spatial_knn_k100": OR.knn_sql(NQ_KNN, 100, D, "uniform"),
         "spatial_knn_graph": OR.knn_graph_sql(5, D, "uniform"),
         "spatial_raster_to_vector": OR.raster_to_vector_sql(CELL_LEVEL, 2, D, "uniform"),
         "spatial_vector_to_raster": OR.vector_to_raster_sql(NQ_POLY, CELL_LEVEL),

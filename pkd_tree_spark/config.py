@@ -40,9 +40,12 @@ VARDEN_SIGMA_MOD = 20_000
 GRID_BITS = 20  # 2^20 = 1_048_576 > COORD_BOUND: every coord fits in GRID_BITS
 COORD_BITS = 20  # geometric resolution of the coordinate domain
 
-# extra per-dim multipliers/offsets for d > 3
+# extra per-dim multipliers/offsets for d > 3 (reference instantiates up to
+# d=16, tests/test.cpp:569-617; the engine's d is a runtime parameter)
 A4, A5 = 2_484_345_967, 3_323_987_519
 B4, B5 = 424_243, 737_373
+A6, A7 = 2_860_486_313, 3_267_000_013
+B6, B7 = 515_151, 616_161
 
 
 @dataclass(frozen=True)

@@ -20,14 +20,14 @@ import pandas as pd
 from . import config as C
 
 M = C.COORD_BOUND
-_MULTS = (C.A1, C.A2, C.A3, C.A4, C.A5)
+_MULTS = (C.A1, C.A2, C.A3, C.A4, C.A5, C.A6, C.A7)
 
 # formula offsets (also used by oracle.py)
-BOX_CENTER_OFF = (1009, 2003, 3001, 4007, 5009)
+BOX_CENTER_OFF = (1009, 2003, 3001, 4007, 5009, 6011, 7013)
 BOX_HW_BASE, BOX_HW_OFF, BOX_HW_MOD = 2000, 7, 150_000
-BALL_CENTER_OFF = (4001, 5003, 6007, 7001, 8011)
+BALL_CENTER_OFF = (4001, 5003, 6007, 7001, 8011, 9013, 10007)
 BALL_R_BASE, BALL_R_OFF, BALL_R_MOD = 1000, 3, 120_000
-KNN_Q_OFF = (7, 11, 13, 17, 19)
+KNN_Q_OFF = (7, 11, 13, 17, 19, 23, 29)
 DIAMOND_C_OFF = (8009, 9001)
 DIAMOND_R_BASE, DIAMOND_R_OFF, DIAMOND_R_MOD = 5000, 17, 120_000
 INSERT_KEY_OFFSET = 10_000_000

@@ -18,8 +18,8 @@ from . import config as C
 from . import fixtures as FX
 
 M = C.COORD_BOUND
-_MULTS = (C.A1, C.A2, C.A3, C.A4, C.A5)
-_ADDS = (C.B1, C.B2, C.B3, C.B4, C.B5)
+_MULTS = (C.A1, C.A2, C.A3, C.A4, C.A5, C.A6, C.A7)
+_ADDS = (C.B1, C.B2, C.B3, C.B4, C.B5, C.B6, C.B7)
 
 
 def _coord_sql(kexpr: str, j: int, dist: str) -> str:
@@ -241,6 +241,23 @@ def sliding_window_cells_sql(level: int, window_len: int, d: int = 2, dist: str 
         f"WITH {pts_cte(dist, d)} "
         f"SELECT {gnames}, CAST(count(*) AS BIGINT) AS cnt "
         f"FROM (SELECT {gcols} FROM pts WHERE key % {P} >= {P - window_len}) GROUP BY {gnames}"
+    )
+
+
+def sliding_window_time_cells_sql(level: int, window_len: int, d: int = 2) -> str:
+    """Time-column sliding window (S6 analog): points from orders keys with
+    period = year(o_orderdate); after the replay, the live set is the last
+    `window_len` DISTINCT periods present in the data."""
+    w = 1 << (C.GRID_BITS - level)
+    coords = ", ".join(f"CAST({_coord_sql('k', j, 'uniform')} AS BIGINT) AS x{j}" for j in range(d))
+    gcols = ", ".join(f"CAST(x{j} // {w} AS BIGINT) AS g{j}" for j in range(d))
+    gnames = ", ".join(f"g{j}" for j in range(d))
+    return (
+        f"WITH okeys AS (SELECT CAST(o_orderkey AS BIGINT) AS k, year(o_orderdate) AS period FROM orders), "
+        f"live AS (SELECT DISTINCT period FROM okeys ORDER BY period DESC LIMIT {window_len}), "
+        f"pts AS (SELECT k, {coords} FROM okeys WHERE period IN (SELECT period FROM live)) "
+        f"SELECT {gnames}, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM (SELECT {gcols} FROM pts) GROUP BY {gnames}"
     )
 
 
