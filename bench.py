@@ -50,7 +50,7 @@ def run_suite() -> dict:
     from pkd_tree_spark.documents import load_points
     from pkd_tree_spark.index import SpatialIndex
     from pkd_tree_spark.knn import auto_knn_level, knn
-    from pkd_tree_spark.ranges import range_count_boxes
+    from pkd_tree_spark.ranges import range_count_boxes, range_cover_stats
     from pkd_tree_spark.session import get_spark
     from pkd_tree_spark.updates import merge_delete, merge_insert
 
@@ -60,6 +60,7 @@ def run_suite() -> dict:
     times: dict[str, float] = {}
     thr: dict[str, float] = {}
     knn_stats: dict[str, dict] = {}
+    range_stats: dict[str, dict] = {}
 
     def timed(name: str, fn, items: int | None = None):
         t0 = time.time()
@@ -147,6 +148,18 @@ def run_suite() -> dict:
             lambda ix=ix, boxes=boxes: range_count_boxes(ix, boxes).groupBy().agg(F.sum("cnt")).collect(),
             items=len(boxes),
         )
+        range_stats[dist] = range_cover_stats(ix, boxes)
+
+        # selectivity brackets (reference query types 0/1/2,
+        # testFramework.h:114-131 — the '10^4 large boxes' row is type 2)
+        if dist == "uniform":
+            for btype in (0, 1, 2):
+                bb = FX.box_fixtures_bracketed(boxes_n, 2, n_points, btype)
+                timed(
+                    f"range_count_type{btype}",
+                    lambda ix=ix, bb=bb: range_count_boxes(ix, bb).groupBy().agg(F.sum("cnt")).collect(),
+                    items=len(bb),
+                )
 
     # batch update: insert then delete a 1% batch (tests/test.cpp:53-74)
     ix = idx["uniform"]
@@ -196,6 +209,7 @@ def run_suite() -> dict:
         "replicate": REPLICATE,
         "throughput": thr,
         "knn_stats": knn_stats,
+        "range_stats": range_stats,
     }
 
 

@@ -46,6 +46,33 @@ def box_fixtures(nq: int, d: int = 2) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+def box_fixtures_bracketed(nq: int, d: int, n_points: int, btype: int) -> pd.DataFrame:
+    """Selectivity-bracketed boxes mirroring the reference's query-type
+    classes (tests/testFramework.h:114-131): expected result count m in
+      type 0: [1, n^(1/4))     type 1: [n^(1/4), n^(1/2))
+      type 2: [n^(1/2), n/100]
+    Targets are log-spaced across the bracket per qid; half-width =
+    (M/2) * (m/n)^(1/d) under uniformity. Bench-only fixture (the
+    correctness gate uses the mixed-selectivity box_fixtures)."""
+    qid = np.arange(nq, dtype=np.int64)
+    n = max(n_points, 16)
+    lo_hi = {
+        0: (1.0, n ** 0.25),
+        1: (n ** 0.25, n ** 0.5),
+        2: (n ** 0.5, n / 100.0),
+    }[btype]
+    m_lo, m_hi = max(lo_hi[0], 1.0), max(lo_hi[1], 2.0)
+    frac = (qid % 97) / 97.0  # deterministic spread across the bracket
+    m = m_lo * (m_hi / m_lo) ** frac
+    hw = np.maximum(1, ((M / 2.0) * (m / n) ** (1.0 / d)).astype(np.int64))
+    cols = {"qid": qid}
+    for j in range(d):
+        c = (qid * _MULTS[j] + BOX_CENTER_OFF[j]) % M
+        cols[f"lo{j}"] = np.maximum(0, c - hw)
+        cols[f"hi{j}"] = np.minimum(M - 1, c + hw)
+    return pd.DataFrame(cols)
+
+
 def ball_fixtures(nq: int, d: int = 2) -> pd.DataFrame:
     qid = np.arange(nq, dtype=np.int64)
     r = BALL_R_BASE + (qid * C.A1 + BALL_R_OFF) % BALL_R_MOD

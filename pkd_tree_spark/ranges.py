@@ -268,6 +268,31 @@ def _count_plan(index: SpatialIndex, queries_df: DataFrame, covers, exact_pred: 
     return _finalize_counts(queries_df, [interior, boundary], small)
 
 
+def range_cover_stats(index: SpatialIndex, boxes: pd.DataFrame, budget: int = 512) -> dict:
+    """V3 introspection (validation.hpp:72-124 analog) for range queries:
+    cells touched per query and the interior (metadata-answered, zero rows
+    scanned) share — the distributed analog of nodes-visited counters.
+    Works for both cover representations without collecting large covers."""
+    spark = index.points.sparkSession
+    covers = _covers_for_boxes(spark, boxes, index.cfg, budget)
+    if isinstance(covers, pd.DataFrame):
+        g = covers.groupby("qid").agg(cells=("cell", "size"), inter=("interior", "sum"))
+        return {
+            "n_queries": int(len(g)),
+            "avg_cells_per_query": round(float(g.cells.mean()), 2),
+            "avg_interior_cells": round(float(g.inter.mean()), 2),
+        }
+    agg = covers.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("cells"), F.sum(F.col("interior").cast("long")).alias("inter")
+    )
+    r = agg.agg(F.avg("cells").alias("c"), F.avg("inter").alias("i"), F.count(F.lit(1)).alias("n")).collect()[0]
+    return {
+        "n_queries": int(r["n"]),
+        "avg_cells_per_query": round(float(r["c"]), 2),
+        "avg_interior_cells": round(float(r["i"]), 2),
+    }
+
+
 # ---------------------------------------------------------------------------
 # public operators
 # ---------------------------------------------------------------------------
