@@ -94,7 +94,10 @@ def run_suite() -> dict:
     n_points = 0
     for dist in ("uniform", "varden"):
         pts = load_points(spark, SF_DIR, dims=2, dist=dist, keys_df=keys_df)
-        cfg = EngineConfig(dims=2, index_level=7, knn_level=6, partitions=CPUS)
+        # 2x core count range buckets: finer bounds smooth residual range-
+        # partition skew (a dense Varden cluster inside one bound interval
+        # would otherwise make a straggler task)
+        cfg = EngineConfig(dims=2, index_level=7, knn_level=6, partitions=2 * CPUS)
 
         def _build(pts=pts, cfg=cfg):
             ix = SpatialIndex.build(pts, cfg)

@@ -258,10 +258,13 @@ def knn(
     for rnd in range(1, max_rounds + 1):
         if n_pend == 0:
             break
-        # ring-cell generation INSIDE executors (data-independent per query)
+        # ring-cell generation INSIDE executors (data-independent per query);
+        # persisted so the per-level branches share one materialization
         cells = pend.mapInPandas(_gen_cells, schema="qid long, level int, cell long").persist()
-        n_cells = cells.count()  # materializes the cache; also the broadcast decision
-        bcast = n_cells <= BROADCAST_CELL_ROWS
+        # broadcast decision from a driver-side upper bound — r is uniform
+        # across pending queries (it doubles in lockstep), so no count job
+        r_val = 1 << (rnd - 1)
+        bcast = n_pend * (2 * r_val + 1) ** d <= BROADCAST_CELL_ROWS
         levels = sorted(r["level"] for r in pend.select("level").distinct().collect())  # <= ladder size
 
         branches = []
@@ -283,13 +286,9 @@ def knn(
             F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("tk"),
             F.count(F.lit(1)).alias("c"),
         )
-        lvl2 = (
-            lvl1.groupBy("qid")
-            .agg(
-                F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, k).alias("tk"),
-                F.sum("c").alias("cnt"),
-            )
-            .persist()
+        lvl2 = lvl1.groupBy("qid").agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, k).alias("tk"),
+            F.sum("c").alias("cnt"),
         )
         st = lvl2.select(
             "qid", "tk", "cnt",
@@ -297,8 +296,11 @@ def knn(
         )
 
         # termination as COLUMN expressions over pend ⋈ stats — the ring
-        # lower bound (r*w)^2 vs kth distance (nn_search.hpp:121-123)
-        j = pend.join(st, "qid", "left")
+        # lower bound (r*w)^2 vs kth distance (nn_search.hpp:121-123).
+        # ONE eager checkpoint materializes the round (flags included);
+        # round results and the next pending set derive from it lazily, so
+        # the heavy candidate join runs exactly once per round and the
+        # driver issues 3 actions/round total (cells are persisted lazily).
         cnt0 = F.coalesce(F.col("cnt"), F.lit(0))
         rw2_ok = F.col("kth").isNotNull() & (
             F.col("kth") <= F.expr(f"shiftleft(r, CAST({cb} - level AS INT)) * shiftleft(r, CAST({cb} - level AS INT))")
@@ -306,25 +308,26 @@ def knn(
         covered_all = F.expr("2 * r + 1") >= F.expr("shiftleft(CAST(2 AS BIGINT), level)")
         done = ((cnt0 >= k) & rw2_ok) | (covered_all & (cnt0 > 0))
         drop = covered_all & (cnt0 == 0)
-
-        res_round = (
-            j.where(done)
-            .select("qid", "tk", F.lit(rnd).cast("int").alias("rounds"), cnt0.alias("cand_rows"))
+        j = (
+            pend.join(st, "qid", "left")
+            .withColumn("_done", done)
+            .withColumn("_drop", drop)
+            .withColumn("cand_rows", cnt0)
             .localCheckpoint(eager=True)
+        )
+
+        res_round = j.where("_done").select(
+            "qid", "tk", F.lit(rnd).cast("int").alias("rounds"), "cand_rows"
         )
         result_parts.append(res_round)
         if return_stats:
             stats_parts.append(res_round.select("qid", "rounds", "cand_rows"))
 
-        new_pend = (
-            j.where(~done & ~drop)
-            .select("qid", *qcols, "level", (F.col("r") * 2).alias("r"))
-            .localCheckpoint(eager=True)
+        pend = j.where("NOT _done AND NOT _drop").select(
+            "qid", *qcols, "level", (F.col("r") * 2).alias("r")
         )
-        n_pend = new_pend.count()
-        lvl2.unpersist()
+        n_pend = pend.count()  # cheap: scans the checkpointed round frame
         cells.unpersist()
-        pend = new_pend
 
     if not result_parts:
         empty = spark.createDataFrame([], schema=RESULT_SCHEMA)
