@@ -47,16 +47,26 @@ _CFG = EngineConfig(dims=D, index_level=6, knn_level=5, partitions=32)
 _CFG3 = EngineConfig(dims=3, index_level=4, knn_level=3, partitions=32)
 _CFG5 = EngineConfig(dims=5, index_level=3, knn_level=2, partitions=32)
 _CFG7 = EngineConfig(dims=7, index_level=2, knn_level=1, partitions=32)  # grid_bits=63//7=9
+# d=16 = the reference's max instantiation (tests/test.cpp:569-617).
+# grid_bits=63//16=3: the cell tree is shallow and the cover budget stops
+# descent early, so range queries degrade toward predicate scans — the same
+# curse-of-dimensionality regime the kd-tree itself hits at d=16.
+_CFG16 = EngineConfig(dims=16, index_level=1, knn_level=1, partitions=32)
 
 
 def _build(spark: SparkSession, sf_dir: str, dist: str, dims: int = D) -> SpatialIndex:
-    cfg = {2: _CFG, 3: _CFG3, 5: _CFG5, 7: _CFG7}[dims]
+    cfg = {2: _CFG, 3: _CFG3, 5: _CFG5, 7: _CFG7, 16: _CFG16}[dims]
     return SpatialIndex.build(load_points(spark, sf_dir, dims=dims, dist=dist), cfg)
 
 
-def _q_count_box_dn(dist: str, dims: int):
+D16_HW_BASE = 300_000  # selectivity ~ (2hw/M)^d: wide boxes keep d=16 counts non-zero
+
+
+def _q_count_box_dn(dist: str, dims: int, hw_base: int | None = None):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return range_count_boxes(_build(spark, sf_dir, dist, dims=dims), FX.box_fixtures(NQ_BOX, dims))
+        return range_count_boxes(
+            _build(spark, sf_dir, dist, dims=dims), FX.box_fixtures(NQ_BOX, dims, hw_base)
+        )
     return fn
 
 
@@ -283,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_count_box_d3": _q_count_box_dn("uniform", 3),
         "spatial_range_count_box_d5": _q_count_box_dn("uniform", 5),
         "spatial_range_count_box_d7": _q_count_box_dn("uniform", 7),
+        "spatial_range_count_box_d16": _q_count_box_dn("uniform", 16, hw_base=D16_HW_BASE),
         "spatial_knn_d3": _q_knn_d3("uniform"),
         "spatial_knn_k1": _q_knn("uniform", k=1),
         "spatial_knn_k100": _q_knn("uniform", k=100),
@@ -328,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range_count_box_d3": OR.range_count_box_sql(NQ_BOX, 3, "uniform"),
         "spatial_range_count_box_d5": OR.range_count_box_sql(NQ_BOX, 5, "uniform"),
         "spatial_range_count_box_d7": OR.range_count_box_sql(NQ_BOX, 7, "uniform"),
+        "spatial_range_count_box_d16": OR.range_count_box_sql(NQ_BOX, 16, "uniform", hw_base=D16_HW_BASE),
         "spatial_knn_d3": OR.knn_sql(NQ_KNN, KNN_K, 3, "uniform"),
         "spatial_knn_k1": OR.knn_sql(NQ_KNN, 1, D, "uniform"),
         "spatial_knn_k100": OR.knn_sql(NQ_KNN, 100, D, "uniform"),

@@ -47,6 +47,13 @@ B4, B5 = 424_243, 737_373
 A6, A7 = 2_860_486_313, 3_267_000_013
 B6, B7 = 515_151, 616_161
 
+# dims 7..15 extend by formula (odd, < 2^32 so k*A stays < 2^63 for testdata
+# keys); shared verbatim with the oracle — both sides read these tuples
+COORD_MULTS = (A1, A2, A3, A4, A5, A6, A7) + tuple(
+    (2_654_435_761 + 104_729 * j) | 1 for j in range(7, 16)
+)
+COORD_ADDS = (B1, B2, B3, B4, B5, B6, B7) + tuple(100_003 * j + 7 for j in range(7, 16))
+
 
 @dataclass(frozen=True)
 class EngineConfig:

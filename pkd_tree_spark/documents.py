@@ -39,8 +39,8 @@ __all__ = [
     "load_points",
 ]
 
-_COORD_MULTS = (C.A1, C.A2, C.A3, C.A4, C.A5, C.A6, C.A7)
-_COORD_ADDS = (C.B1, C.B2, C.B3, C.B4, C.B5, C.B6, C.B7)
+_COORD_MULTS = C.COORD_MULTS
+_COORD_ADDS = C.COORD_ADDS
 
 
 def doc_key_col() -> Column:

@@ -20,10 +20,12 @@ import pandas as pd
 from . import config as C
 
 M = C.COORD_BOUND
-_MULTS = (C.A1, C.A2, C.A3, C.A4, C.A5, C.A6, C.A7)
+_MULTS = C.COORD_MULTS
 
-# formula offsets (also used by oracle.py)
-BOX_CENTER_OFF = (1009, 2003, 3001, 4007, 5009, 6011, 7013)
+# formula offsets (also used by oracle.py); dims 7..15 extend by formula
+BOX_CENTER_OFF = (1009, 2003, 3001, 4007, 5009, 6011, 7013) + tuple(
+    1009 + 997 * j for j in range(7, 16)
+)
 BOX_HW_BASE, BOX_HW_OFF, BOX_HW_MOD = 2000, 7, 150_000
 BALL_CENTER_OFF = (4001, 5003, 6007, 7001, 8011, 9013, 10007)
 BALL_R_BASE, BALL_R_OFF, BALL_R_MOD = 1000, 3, 120_000
@@ -35,9 +37,11 @@ DELETE_MOD = 7
 SLIDING_PERIODS = 10
 
 
-def box_fixtures(nq: int, d: int = 2) -> pd.DataFrame:
+def box_fixtures(nq: int, d: int = 2, hw_base: int | None = None) -> pd.DataFrame:
+    """hw_base widens boxes for high d (selectivity ~ (2hw/M)^d: the default
+    base gives ~0 expected matches past d~7, so d=16 passes 300_000)."""
     qid = np.arange(nq, dtype=np.int64)
-    hw = BOX_HW_BASE + (qid * C.A3 + BOX_HW_OFF) % BOX_HW_MOD
+    hw = (BOX_HW_BASE if hw_base is None else hw_base) + (qid * C.A3 + BOX_HW_OFF) % BOX_HW_MOD
     cols = {"qid": qid}
     for j in range(d):
         c = (qid * _MULTS[j] + BOX_CENTER_OFF[j]) % M

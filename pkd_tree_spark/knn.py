@@ -126,30 +126,43 @@ def _assign_levels(
             ]
         )
     ).alias("s")
+    # one materialization: the rung lookups below must not re-run the
+    # sample + explode + groupBy lineage per rung
     hist = (
         src.select(lvl_cells)
         .select(F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"))
         .groupBy("lvl", "c")
         .agg((F.count(F.lit(1)) * F.lit(scale)).cast("long").alias("hcnt"))
+        .localCheckpoint(eager=True)
     )
 
     thresh = max(target, 3 * k)
     neigh = 3**d  # 3^d-neighborhood upper bound under local uniformity
-    q = qdf
-    for i, lvl in enumerate(ladder[:-1]):  # the last rung is the uncondit. fallback
-        home = _home_cell_expr(d, cb, lvl)
-        h = hist.where(F.col("lvl") == lvl).select(
-            F.col("c").alias(f"_hc{i}"), F.col("hcnt").alias(f"_cnt{i}")
+    # ONE join does every rung at once: explode the query's (rung, home
+    # cell) pairs, left-join the histogram, then pick the first (minimum)
+    # rung whose neighborhood estimate fits the target; the last rung is
+    # the unconditional fallback. Two shuffles total, ladder-independent.
+    homes = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(lvl).cast("int").alias("lvl"), _home_cell_expr(d, cb, lvl).alias("c"))
+                for lvl in ladder[:-1]
+            ]
         )
-        q = q.join(h, home == F.col(f"_hc{i}"), "left").drop(f"_hc{i}")
-    # level = first rung whose neighborhood estimate fits the target
-    case = None
-    for i, lvl in enumerate(ladder[:-1]):
-        cond = F.coalesce(F.col(f"_cnt{i}"), F.lit(0)) * neigh <= thresh
-        case = F.when(cond, lvl) if case is None else case.when(cond, lvl)
-    case = case.otherwise(ladder[-1])
-    keep = [c for c in qdf.columns]
-    return q.select(*keep, case.cast("int").alias("level"))
+    ).alias("s")
+    qx = qdf.select("qid", homes).select("qid", F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"))
+    pick = (
+        qx.join(hist, ["lvl", "c"], "left")
+        .groupBy("qid")
+        .agg(
+            F.min(
+                F.when(F.coalesce(F.col("hcnt"), F.lit(0)) * neigh <= thresh, F.col("lvl"))
+            ).alias("_lv")
+        )
+    )
+    return qdf.join(pick, "qid", "left").select(
+        *qdf.columns, F.coalesce(F.col("_lv"), F.lit(ladder[-1])).cast("int").alias("level")
+    )
 
 
 def _home_cell_expr(d: int, cb: int, lvl: int):
@@ -259,13 +272,14 @@ def knn(
         if n_pend == 0:
             break
         # ring-cell generation INSIDE executors (data-independent per query);
-        # persisted so the per-level branches share one materialization
+        # persisted so the per-level branches share one materialization.
+        # One tiny agg on the cached cells yields the exact per-level cell
+        # counts: the level list for branch construction AND the broadcast
+        # decision in a single O(levels)-row action.
         cells = pend.mapInPandas(_gen_cells, schema="qid long, level int, cell long").persist()
-        # broadcast decision from a driver-side upper bound — r is uniform
-        # across pending queries (it doubles in lockstep), so no count job
-        r_val = 1 << (rnd - 1)
-        bcast = n_pend * (2 * r_val + 1) ** d <= BROADCAST_CELL_ROWS
-        levels = sorted(r["level"] for r in pend.select("level").distinct().collect())  # <= ladder size
+        lvl_counts = {r["level"]: r["n"] for r in cells.groupBy("level").agg(F.count(F.lit(1)).alias("n")).collect()}
+        bcast = sum(lvl_counts.values()) <= BROADCAST_CELL_ROWS
+        levels = sorted(lvl_counts)
 
         branches = []
         for lvl in levels:

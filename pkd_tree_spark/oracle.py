@@ -18,8 +18,8 @@ from . import config as C
 from . import fixtures as FX
 
 M = C.COORD_BOUND
-_MULTS = (C.A1, C.A2, C.A3, C.A4, C.A5, C.A6, C.A7)
-_ADDS = (C.B1, C.B2, C.B3, C.B4, C.B5, C.B6, C.B7)
+_MULTS = C.COORD_MULTS
+_ADDS = C.COORD_ADDS
 
 
 def _coord_sql(kexpr: str, j: int, dist: str) -> str:
@@ -54,8 +54,9 @@ def insert_pts_cte(dist: str = "uniform", d: int = 2) -> str:
     )
 
 
-def box_cte(nq: int, d: int = 2) -> str:
-    hw = f"({FX.BOX_HW_BASE} + (i * {C.A3} + {FX.BOX_HW_OFF}) % {FX.BOX_HW_MOD})"
+def box_cte(nq: int, d: int = 2, hw_base: int | None = None) -> str:
+    base = FX.BOX_HW_BASE if hw_base is None else hw_base
+    hw = f"({base} + (i * {C.A3} + {FX.BOX_HW_OFF}) % {FX.BOX_HW_MOD})"
     cols = []
     for j in range(d):
         c = f"((i * {_MULTS[j]} + {FX.BOX_CENTER_OFF[j]}) % {M})"
@@ -106,8 +107,8 @@ def _count_sql(qcte: str, pred: str, dist: str, d: int, pts: str = "pts") -> str
     )
 
 
-def range_count_box_sql(nq: int, d: int = 2, dist: str = "uniform") -> str:
-    return _count_sql(box_cte(nq, d), _box_pred(d), dist, d)
+def range_count_box_sql(nq: int, d: int = 2, dist: str = "uniform", hw_base: int | None = None) -> str:
+    return _count_sql(box_cte(nq, d, hw_base), _box_pred(d), dist, d)
 
 
 def range_count_ball_sql(nq: int, d: int = 2, dist: str = "uniform") -> str:
