@@ -94,10 +94,14 @@ def run_suite() -> dict:
     n_points = 0
     for dist in ("uniform", "varden"):
         pts = load_points(spark, SF_DIR, dims=2, dist=dist, keys_df=keys_df)
-        # 2x core count range buckets: finer bounds smooth residual range-
-        # partition skew (a dense Varden cluster inside one bound interval
-        # would otherwise make a straggler task)
-        cfg = EngineConfig(dims=2, index_level=7, knn_level=6, partitions=2 * CPUS)
+        # Partition count is DATA-sized (~1.2M rows per range bucket) and
+        # identical at every core count: the scaling study must vary only
+        # parallelism, not the physical plan (mirrors scalability.sh keeping
+        # the algorithm fixed across thread counts). Spill-aware: a bucket
+        # stays ~100MB regardless of executor count.
+        n_target = REPLICATE * 600_000
+        parts = max(32, n_target // 1_200_000)
+        cfg = EngineConfig(dims=2, index_level=7, knn_level=6, partitions=parts)
 
         def _build(pts=pts, cfg=cfg):
             ix = SpatialIndex.build(pts, cfg)
