@@ -230,7 +230,7 @@ def embedding_dup_pairs(
     q = (
         quantized_embeddings(emb)
         .where(F.col("norm2") > 0)  # zero vectors can never satisfy dot > 0
-        .withColumn("blk", lsh_bucket_col("qv", 0, block_planes).cast("int"))
+        .withColumn("blk", lsh_bucket_col("qv", block_planes).cast("int"))
         .persist()
     )
 

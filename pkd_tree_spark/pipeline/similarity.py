@@ -47,7 +47,7 @@ def topk_dot(emb: DataFrame, n_queries: int = 16, k: int = 10) -> DataFrame:
     )
 
 
-def lsh_bucket_col(qv_col: str, dims: int, n_planes: int = 8):
+def lsh_bucket_col(qv_col: str, n_planes: int = 8):
     """Deterministic random-hyperplane bucket id: plane p has weight
     s_ip = +1 if ((i*A1 + p*A2) >> 7) % 2 == 0 else -1 on dim i; bit p of
     the bucket = (sum_i s_ip * qv_i) >= 0. Pure JVM higher-order exprs."""
@@ -66,14 +66,14 @@ def lsh_bucket_col(qv_col: str, dims: int, n_planes: int = 8):
     return bucket
 
 
-def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int = 6, dims: int = 64) -> DataFrame:
+def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int = 6) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket equi-join + exact integer
     re-rank, multi-probe (own bucket + all Hamming-1 neighbors — vectors
     near a hyperplane land on either side, probing flipped bits recovers
     them). Output shape == topk_dot (rn may be < k if buckets are small).
     At 100TB the bucketed join replaces topk_dot's full scan; recall is
     pytest-checked against the exact baseline."""
-    q = quantized_embeddings(emb).withColumn("bucket", lsh_bucket_col("qv", dims, n_planes))
+    q = quantized_embeddings(emb).withColumn("bucket", lsh_bucket_col("qv", n_planes))
     probes = F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
     queries = (
         q.where(F.col("vec_id") < n_queries)
