@@ -29,6 +29,7 @@ from pkd_tree_spark.ranges import (
     range_count_polygons,
     range_report_balls,
     range_report_boxes,
+    range_report_polygons,
 )
 from pkd_tree_spark.updates import merge_delete, merge_insert, sliding_window
 from pkd_tree_spark import oracle_pipeline as ORP
@@ -194,6 +195,38 @@ def _q_knn(dist: str, state: str = "base", k: int = KNN_K):
     return fn
 
 
+DUP_SITES, DUP_MULT = 20, 52_631  # duplicate-heavy lattice (dummy-leaf regime)
+
+
+def _q_knn_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 OOD kNN (tests/test.cpp:494-509): varden-distributed queries over
+    the uniform index — the cross-distribution case."""
+    idx = _build(spark, sf_dir, "uniform")
+    n = idx.points.count()
+    res = knn(idx, FX.knn_fixtures_varden(NQ_KNN, D), k=KNN_K, level=auto_knn_level(n, D))
+    return res.select("qid", "rn", "key", "dist2")
+
+
+def _q_knn_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-collapse regime (dummy leaves, build_tree.hpp:183-186):
+    coords snapped onto a 20^2 lattice — thousands of identical points per
+    site; multiset kNN semantics with deterministic tie-break."""
+    pts = load_points(spark, sf_dir, dims=D, dist="uniform")
+    lattice = pts.select(
+        "doc_id", "span_idx", "key",
+        *[(F.col(f"x{j}") % DUP_SITES * DUP_MULT).alias(f"x{j}") for j in range(D)],
+    )
+    idx = SpatialIndex.build(lattice, _CFG)
+    n = idx.points.count()
+    res = knn(idx, FX.knn_fixtures(NQ_KNN, D), k=KNN_K, level=auto_knn_level(n, D))
+    return res.select("qid", "rn", "key", "dist2")
+
+
+def _q_report_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    polys = FX.diamond_fixtures(16)[["qid", "vx", "vy"]]
+    return range_report_polygons(_build(spark, sf_dir, "uniform"), polys)
+
+
 def _q_sliding_window_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 analog: timestamped CSV ingest; the sliding window is driven by
     the TIME column (period = year(ts)), not key arithmetic."""
@@ -297,6 +330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_knn_d3": _q_knn_d3("uniform"),
         "spatial_knn_k1": _q_knn("uniform", k=1),
         "spatial_knn_k100": _q_knn("uniform", k=100),
+        "spatial_knn_ood": _q_knn_ood,
+        "spatial_knn_dup": _q_knn_dup,
+        "spatial_range_report_polygon_uniform": _q_report_polygon,
         "spatial_knn_graph": _q_knn_graph,
         "spatial_raster_to_vector": _q_raster_to_vector,
         "spatial_vector_to_raster": _q_vector_to_raster,
@@ -343,6 +379,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_knn_d3": OR.knn_sql(NQ_KNN, KNN_K, 3, "uniform"),
         "spatial_knn_k1": OR.knn_sql(NQ_KNN, 1, D, "uniform"),
         "spatial_knn_k100": OR.knn_sql(NQ_KNN, 100, D, "uniform"),
+        "spatial_knn_ood": OR.knn_sql(NQ_KNN, KNN_K, D, "uniform", qdist="varden"),
+        "spatial_knn_dup": OR.knn_dup_sql(NQ_KNN, KNN_K, D, "uniform", DUP_SITES, DUP_MULT),
+        "spatial_range_report_polygon_uniform": OR.range_report_diamond_sql(16, "uniform"),
         "spatial_knn_graph": OR.knn_graph_sql(5, D, "uniform"),
         "spatial_raster_to_vector": OR.raster_to_vector_sql(CELL_LEVEL, 2, D, "uniform"),
         "spatial_vector_to_raster": OR.vector_to_raster_sql(NQ_POLY, CELL_LEVEL),

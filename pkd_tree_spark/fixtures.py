@@ -95,6 +95,24 @@ def knn_fixtures(nq: int, d: int = 2) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+def knn_fixtures_varden(nq: int, d: int = 2) -> pd.DataFrame:
+    """OOD query set (Q5, tests/test.cpp:494-509): queries drawn from the
+    VARDEN cluster distribution — numpy twin of documents.varden_coord_col
+    with k = qid (mirrored in SQL by oracle._coord_sql(i, j, 'varden'))."""
+    qid = np.arange(nq, dtype=np.int64)
+    _ADDS = (C.B1, C.B2, C.B3, C.B4, C.B5, C.B6, C.B7)
+    cols = {"qid": qid}
+    c = qid % C.VARDEN_CLUSTERS
+    sigma = C.VARDEN_SIGMA_BASE + (c * c * C.VARDEN_SIGMA_MULT) % C.VARDEN_SIGMA_MOD
+    for j in range(d):
+        center = ((c + 1) * (C.VARDEN_CENTER_MULT + j * 1_000_003)) % M
+        off = (qid * _MULTS[j] + _ADDS[j]) % (2 * sigma + 1) - sigma
+        clustered = np.clip(center + off, 0, M - 1)
+        uni = (qid * _MULTS[j] + _ADDS[j]) % M
+        cols[f"q{j}"] = np.where(qid % 100 == 0, uni, clustered)
+    return pd.DataFrame(cols)
+
+
 def diamond_fixtures(nq: int) -> pd.DataFrame:
     """Rotated-square (L1-ball) convex polygons, CCW, d=2. Exercises the
     generic convex-polygon path while staying oracle-expressible as

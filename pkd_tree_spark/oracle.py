@@ -140,9 +140,26 @@ def range_report_ball_sql(nq: int, d: int = 2, dist: str = "uniform") -> str:
     )
 
 
-def knn_sql(nq: int, k: int, d: int = 2, dist: str = "uniform", state: str = "base") -> str:
+def knn_q_cte_varden(nq: int, d: int = 2) -> str:
+    """OOD queries (Q5): the varden formula on the query id (mirrors
+    fixtures.knn_fixtures_varden exactly)."""
+    cols = [f"CAST({_coord_sql('i', j, 'varden')} AS BIGINT) AS q{j}" for j in range(d)]
+    return f"q AS (SELECT i AS qid, {', '.join(cols)} FROM range(0, {nq}) t(i))"
+
+
+def dup_pts_cte(dist: str = "uniform", d: int = 2, sites: int = 20, mult: int = 52_631) -> str:
+    """Duplicate-heavy lattice (dummy-leaf regime, build_tree.hpp:183-186):
+    coords collapsed onto sites^d lattice points."""
+    cols = ", ".join(f"CAST(x{j} % {sites} * {mult} AS BIGINT) AS x{j}" for j in range(d))
+    return f"{pts_cte(dist, d)}, dpts AS (SELECT key, span_idx, {cols} FROM pts)"
+
+
+def knn_sql(
+    nq: int, k: int, d: int = 2, dist: str = "uniform", state: str = "base", qdist: str = "uniform"
+) -> str:
     """state: 'base' | 'inserted' (base + insert batch) | 'updated'
-    (base + insert, minus keys k%DELETE_MOD==0)."""
+    (base + insert, minus keys k%DELETE_MOD==0). qdist='varden' draws the
+    QUERIES from the cluster distribution (OOD, Q5)."""
     dist2 = " + ".join(f"(p.x{j} - q.q{j}) * (p.x{j} - q.q{j})" for j in range(d))
     src = "pts"
     extra = ""
@@ -152,13 +169,38 @@ def knn_sql(nq: int, k: int, d: int = 2, dist: str = "uniform", state: str = "ba
     if state == "updated":
         extra += f", livepts AS (SELECT * FROM allpts WHERE key % {FX.DELETE_MOD} <> 0)"
         src = "livepts"
+    qcte = knn_q_cte(nq, d) if qdist == "uniform" else knn_q_cte_varden(nq, d)
     return (
-        f"WITH {pts_cte(dist, d)}{extra}, {knn_q_cte(nq, d)} "
+        f"WITH {pts_cte(dist, d)}{extra}, {qcte} "
         f"SELECT qid, rn, key, dist2 FROM ("
         f"  SELECT qid, key, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, key, span_idx) AS rn "
         f"  FROM (SELECT q.qid AS qid, p.key AS key, CAST({dist2} AS BIGINT) AS dist2, p.span_idx AS span_idx "
         f"        FROM q CROSS JOIN {src} p) raw) ranked "
         f"WHERE rn <= {k}"
+    )
+
+
+def knn_dup_sql(nq: int, k: int, d: int = 2, dist: str = "uniform", sites: int = 20, mult: int = 52_631) -> str:
+    """kNN over the duplicate-heavy lattice (multiset semantics: duplicate
+    points count as distinct neighbors, tie-broken by key, span_idx)."""
+    dist2 = " + ".join(f"(p.x{j} - q.q{j}) * (p.x{j} - q.q{j})" for j in range(d))
+    return (
+        f"WITH {dup_pts_cte(dist, d, sites, mult)}, {knn_q_cte(nq, d)} "
+        f"SELECT qid, rn, key, dist2 FROM ("
+        f"  SELECT qid, key, dist2, row_number() OVER (PARTITION BY qid ORDER BY dist2, key, span_idx) AS rn "
+        f"  FROM (SELECT q.qid AS qid, p.key AS key, CAST({dist2} AS BIGINT) AS dist2, p.span_idx AS span_idx "
+        f"        FROM q CROSS JOIN dpts p) raw) ranked "
+        f"WHERE rn <= {k}"
+    )
+
+
+def range_report_diamond_sql(nq: int, dist: str = "uniform") -> str:
+    """Polygon (diamond) range report: rows inside each convex polygon."""
+    return (
+        f"WITH {pts_cte(dist, 2)}, {diamond_cte(nq)} "
+        f"SELECT q.qid AS qid, 'doc_' || lpad(CAST(p.key AS VARCHAR), 12, '0') AS doc_id, "
+        f"CAST(p.span_idx AS INT) AS span_idx, p.key AS key, p.x0 AS x0, p.x1 AS x1 "
+        f"FROM q JOIN pts p ON abs(p.x0 - q.c0) + abs(p.x1 - q.c1) <= q.r"
     )
 
 

@@ -41,7 +41,10 @@ __all__ = [
     "range_count_boxes",
     "range_count_balls",
     "range_report_boxes",
+    "range_report_balls",
     "range_count_polygons",
+    "range_report_polygons",
+    "range_cover_stats",
 ]
 
 
@@ -377,3 +380,25 @@ def range_count_polygons(index: SpatialIndex, polys: pd.DataFrame, budget: int =
     covers = cover_regions(regions, index.cfg, budget)
     qdf = spark.createDataFrame(polys)
     return _count_plan(index, qdf, covers, _polygon_pred())
+
+
+def range_report_polygons(index: SpatialIndex, polys: pd.DataFrame, budget: int = 512) -> DataFrame:
+    """(qid, doc_id, span_idx, key, x0, x1) — convex-polygon range report
+    (R4 semantics over the polygon predicate; interior cover cells skip the
+    exact test, boundary cells evaluate the JVM-side edge-cross forall)."""
+    spark = index.points.sparkSession
+    assert index.cfg.dims == 2, "polygon queries are 2-D"
+    regions = [
+        (int(r.qid), ConvexPolygonRegion(np.stack([np.asarray(r.vx), np.asarray(r.vy)], axis=1)))
+        for r in polys.itertuples()
+    ]
+    covers = cover_regions(regions, index.cfg, budget)
+    cand = _boundary_candidates(index, covers, interior_too=True)
+    if cand is None:
+        return spark.createDataFrame([], schema="qid long, doc_id string, span_idx int, key long, x0 long, x1 long")
+    qdf = spark.createDataFrame(polys)
+    return (
+        cand.join(F.broadcast(qdf), "qid")
+        .where(F.col("interior") | _polygon_pred())
+        .select("qid", "doc_id", "span_idx", "key", "x0", "x1")
+    )
