@@ -108,9 +108,27 @@ def _assign_levels(
     if len(ladder) == 1:
         return qdf.withColumn("level", F.lit(ladder[0]).cast("int"))
 
+    # one tiny agg of the cached metadata decides whether the ladder is
+    # worth paying for: when the hottest index cell is within ~4x of the
+    # mean (no Varden-style density spread), every query gets the floor
+    # level and the histogram pass is skipped — the kd-tree analog is a
+    # balanced tree whose depth needs no per-leaf adaptation
+    s = index.meta.agg(
+        F.sum("cnt").alias("n"), F.max("cnt").alias("mx"), F.avg("cnt").alias("av")
+    ).collect()[0]
+    n_est = int(s["n"] or 0)
+    if s["mx"] is not None and s["av"] and float(s["mx"]) <= 4.0 * float(s["av"]):
+        # uniform-density shortcut: the single level at which the expected
+        # 3^d-neighborhood holds ~thresh points (what the ladder would pick
+        # for every query anyway, computed from the mean instead)
+        thresh0 = max(target, 3 * k)
+        per_cell = max(1.0, thresh0 / float(3**d))
+        lvl0 = int(round(math.log2(max(2.0, n_est / per_cell)) / d))
+        lvl0 = max(ladder[0], min(ladder[-1], lvl0))
+        return qdf.withColumn("level", F.lit(lvl0).cast("int"))
+
     src = index.points
     scale = 1.0
-    n_est = int(index.meta.agg(F.sum("cnt")).collect()[0][0] or 0)  # tiny cached agg
     if n_est > HIST_SAMPLE_ROWS:
         frac = HIST_SAMPLE_ROWS / n_est
         src = src.sample(fraction=frac, seed=42)
