@@ -71,11 +71,16 @@ def _q_count_box_dn(dist: str, dims: int, hw_base: int | None = None):
     return fn
 
 
-def _q_knn_d3(dist: str):
+def _q_knn_dn(dist: str, dims: int):
+    """kNN at the reference's higher instantiation dims (tests/test.cpp:
+    569-617, script/run_highDim.sh runs up to d=16). d<=5 stays on the
+    mesh/shell path; d=7 rings once then goes exhaustive; d=16 is
+    exhaustive from round 1 (mesh 3^16 > MESH_CAP) — the same
+    curse-of-dimensionality degradation the kd-tree itself exhibits."""
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        idx = _build(spark, sf_dir, dist, dims=3)
+        idx = _build(spark, sf_dir, dist, dims=dims)
         n = idx.points.count()
-        res = knn(idx, FX.knn_fixtures(NQ_KNN, 3), k=KNN_K, level=auto_knn_level(n, 3))
+        res = knn(idx, FX.knn_fixtures(NQ_KNN, dims), k=KNN_K, level=auto_knn_level(n, dims))
         return res.select("qid", "rn", "key", "dist2")
     return fn
 
@@ -327,7 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_count_box_d5": _q_count_box_dn("uniform", 5),
         "spatial_range_count_box_d7": _q_count_box_dn("uniform", 7),
         "spatial_range_count_box_d16": _q_count_box_dn("uniform", 16, hw_base=D16_HW_BASE),
-        "spatial_knn_d3": _q_knn_d3("uniform"),
+        "spatial_knn_d3": _q_knn_dn("uniform", 3),
+        "spatial_knn_d5": _q_knn_dn("uniform", 5),
+        "spatial_knn_d7": _q_knn_dn("uniform", 7),
+        "spatial_knn_d16": _q_knn_dn("uniform", 16),
         "spatial_knn_k1": _q_knn("uniform", k=1),
         "spatial_knn_k100": _q_knn("uniform", k=100),
         "spatial_knn_ood": _q_knn_ood,
@@ -377,6 +385,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range_count_box_d7": OR.range_count_box_sql(NQ_BOX, 7, "uniform"),
         "spatial_range_count_box_d16": OR.range_count_box_sql(NQ_BOX, 16, "uniform", hw_base=D16_HW_BASE),
         "spatial_knn_d3": OR.knn_sql(NQ_KNN, KNN_K, 3, "uniform"),
+        "spatial_knn_d5": OR.knn_sql(NQ_KNN, KNN_K, 5, "uniform"),
+        "spatial_knn_d7": OR.knn_sql(NQ_KNN, KNN_K, 7, "uniform"),
+        "spatial_knn_d16": OR.knn_sql(NQ_KNN, KNN_K, 16, "uniform"),
         "spatial_knn_k1": OR.knn_sql(NQ_KNN, 1, D, "uniform"),
         "spatial_knn_k100": OR.knn_sql(NQ_KNN, 100, D, "uniform"),
         "spatial_knn_ood": OR.knn_sql(NQ_KNN, KNN_K, D, "uniform", qdist="varden"),

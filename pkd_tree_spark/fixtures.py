@@ -29,7 +29,9 @@ BOX_CENTER_OFF = (1009, 2003, 3001, 4007, 5009, 6011, 7013) + tuple(
 BOX_HW_BASE, BOX_HW_OFF, BOX_HW_MOD = 2000, 7, 150_000
 BALL_CENTER_OFF = (4001, 5003, 6007, 7001, 8011, 9013, 10007)
 BALL_R_BASE, BALL_R_OFF, BALL_R_MOD = 1000, 3, 120_000
-KNN_Q_OFF = (7, 11, 13, 17, 19, 23, 29)
+# dims 7..15 extend by formula (primes-ish odd offsets), mirroring
+# config.COORD_MULTS — oracle.knn_q_cte reads this same tuple
+KNN_Q_OFF = (7, 11, 13, 17, 19, 23, 29) + tuple(31 + 6 * j for j in range(7, 16))
 DIAMOND_C_OFF = (8009, 9001)
 DIAMOND_R_BASE, DIAMOND_R_OFF, DIAMOND_R_MOD = 5000, 17, 120_000
 INSERT_KEY_OFFSET = 10_000_000

@@ -4,49 +4,59 @@ Reference operators reproduced (SURVEY.md §2.3): Q1 k_nearest DFS with
 lower-bound pruning (query_op/nn_search.hpp:81-126), Q2 bounded top-k
 (nn_search_helpers.h:18-93), Q4 batch harness (testFramework.h:470-520).
 
-Distributed formulation: each query scans the cells within Chebyshev ring
-r of its home cell at a per-query grid level g (cell width w =
-2^(grid_bits-g)). After ring r, any unscanned point is at distance
+Distributed formulation: each query scans, round by round, the cells in
+the Chebyshev SHELL (r_prev, r] around its home cell at a per-query grid
+level g (cell width w = 2^(coord_bits - g)); r doubles each round, so the
+shells are disjoint and their union is the full radius-r disk. The running
+top-k is CARRIED on the pending-query row and merged with each shell's
+candidates — a cell is scanned at most once per query (the reference
+visits each tree node once; round 2 of this engine re-scanned the whole
+disk every round). After ring r any unscanned point is at distance
 >= r*w + 1, so a query terminates once kth_dist^2 <= (r*w)^2 — exactly the
 `p2b_min_distance > bq.top()` prune of nn_search.hpp:121-123 lifted to
-ring granularity. Rings double until the (clipped) grid is exhausted, so
-termination is unconditional.
+ring granularity.
+
+High-d / large-ring escape: when a round's offset mesh (2r+1)^d would
+exceed MESH_CAP cells (d=7 at r>=4, d=16 immediately — the reference
+instantiates kNN up to d=16, tests/test.cpp:569-617), the query switches
+to an EXHAUSTIVE round: one filtered scan of the points table restricted
+to cells beyond the already-scanned radius (Chebyshev cell distance >
+r_prev, pure column arithmetic). That round is definitionally complete, so
+the query finishes — the distributed analog of the kd-tree degenerating to
+a near-full traversal under the curse of dimensionality. Termination is
+therefore unconditional in O(log grid) rounds with bounded per-round work.
 
 The query set is a DataFrame END-TO-END (the reference's headline batch is
-10^7 queries, testFramework.h:470-520 with batchQueryRatio=0.01 at n=10^9 —
-far beyond what a driver pandas round-trip survives):
-  - ring-cell generation runs inside mapInPandas over the query table
-    (vectorized numpy per Arrow batch; the cover machinery's shape);
-  - per-round termination is a JOIN of the pending-query table against the
-    aggregated per-query stats — column expressions decide done/continue,
-    nothing per-query ever reaches the driver;
-  - per round the engine issues O(1) driver actions (two localCheckpoints
-    + one count), independent of query count;
-  - candidate-cell tables are broadcast only while small (cell count
-    threshold); past it the equi-join shuffles — AQE picks the strategy.
-Each round's heavy intermediates are persisted for the round and
-unpersisted before the next (no cache leak across rounds).
+10^7 queries, testFramework.h:470-520 with batchQueryRatio=0.01 at n=10^9):
+ring-cell generation runs inside mapInPandas; per-round termination is a
+join + column expressions; the engine issues O(1) driver actions per round
+independent of query count.
 
 Skew adaptivity (the kd-tree's density-adaptive depth, which a fixed grid
-lacks): a per-query level is chosen from a density ladder — point counts
-rolled up from a (sampled) fine-level histogram — so queries inside dense
-Varden clusters use fine cells (small candidate sets) while queries in
-sparse space start coarse (few ring rounds). The histogram is one
-aggregation of the points table, consumed as a DataFrame by per-rung
-left joins (never collected).
+lacks): a per-query level is chosen from the index's DENSITY LADDER — see
+SpatialIndex.density_ladder(): an exact rollup of the per-cell metadata
+for levels <= index_level plus a sampled fine extension under hot cells
+only, computed ONCE per index (it is index state, like the reference's
+tree depth — round 2 recomputed it per kNN call, the round's one bench
+regression). Uniformly-occupied indexes (gated on BOTH max/avg cell count
+AND occupancy, so a dense subregion doesn't spoof the test) skip the
+per-query ladder join entirely and take a closed-form level from the mean
+occupied-cell density.
 
-Physical plan per round: per-level equi-joins on the cell prefix,
-unioned, then a TWO-LEVEL partial top-k — slice(array_sort, k) per
-(qid, cell) first (map-side partial aggregation: a hot cell's candidates
-never cross the shuffle), then a per-qid merge of the <= cells*k
-survivors. This is the bounded queue of nn_search_helpers.h as an
+Physical plan per round: ONE equi-join of the shell cells against the
+points table exploded over the (few) levels present this round, then a
+TWO-LEVEL partial top-k — slice(array_sort, k) per (qid, cell) first
+(map-side partial aggregation: a hot cell's candidates never cross the
+shuffle), then a per-qid merge of the <= cells*k survivors with the
+carried top-k. This is the bounded queue of nn_search_helpers.h as an
 algebraic aggregate; no global window, no full candidate shuffle.
 All distances are exact int64 squared-L2.
 
 V3 introspection (validation.hpp:72-124, visited counter nn_search.hpp:85):
 with return_stats=True the result is accompanied by a per-query stats
-DataFrame (qid, rounds, cand_rows) — ring rounds taken and candidate rows
-scanned, the distributed analog of tree-depth / visited-node counts.
+DataFrame (qid, rounds, cand_rows) — ring rounds taken and TOTAL candidate
+rows scanned across all rounds (cumulative, carried on the pending row).
+Queries in an empty index produce no result row and no stats row.
 """
 
 from __future__ import annotations
@@ -64,13 +74,19 @@ from .zorder import morton_encode_np
 
 __all__ = ["auto_knn_level", "knn", "knn_join"]
 
-# broadcast the candidate-cell table only below this many (qid, cell) rows;
-# above it the cell join shuffles (10^7-query batches must not be broadcast)
-BROADCAST_CELL_ROWS = 4_000_000
+# broadcast thresholds are BYTES-based (a 4M-row pending table at d=16 is
+# ~0.5GB; the same rows at d=2 are ~100MB — one row-count constant cannot
+# serve both). cells rows are 2 longs; qside rows are (d+1) longs + level/r.
+BROADCAST_BYTES = 128 << 20
 HIST_SAMPLE_ROWS = 2_000_000
+# a round whose offset mesh (2r+1)^d exceeds this switches to an exhaustive
+# filtered scan (see module docstring); 2^18 cells * 8B = 2MB per query mesh
+MESH_CAP_LOG2 = 18.0
 
 RESULT_SCHEMA = "qid long, rn long, key long, doc_id string, span_idx long, dist2 long"
 STATS_SCHEMA = "qid long, rounds int, cand_rows long"
+
+_ENTRY_ARR = "array<struct<dist2:bigint,key:bigint,span_idx:bigint,doc_id:string>>"
 
 
 def auto_knn_level(n: int, d: int, target_per_cell: int = 128, grid_bits: int = 20) -> int:
@@ -89,97 +105,105 @@ def _assign_levels(
     level_cap: int,
     target: int,
 ) -> DataFrame:
-    """Append a per-query grid ``level`` column from a density ladder.
+    """Append a per-query grid ``level`` column from the index's density
+    ladder (SpatialIndex.density_ladder — index state, computed once).
 
-    ONE aggregation computes a (lvl, cell, cnt) histogram of the points at
-    every ladder level (over a <=HIST_SAMPLE_ROWS sample — density only
-    picks levels, so sampling noise just moves a query one rung, which the
-    ring bound absorbs). The descent — deepen while the home cell's
-    3^d-neighborhood estimate exceeds the candidate target — is a cascade
-    of per-rung left joins + one CASE expression: fully distributed, the
-    histogram is never collected. This recovers the kd-tree's
-    density-adaptive depth (divide_rotate's data-driven splits) with a
-    single extra pass over the cached points.
+    The descent — deepen while the home cell's 3^d-neighborhood estimate
+    exceeds the candidate target — is one explode of the query's (rung,
+    home cell) pairs, one left join against the ladder histogram, and one
+    CASE aggregate: fully distributed, two shuffles on the QUERY table
+    only, nothing per-query on the driver.
     """
-    d, kb, cb = index.cfg.dims, index.cfg.grid_bits, index.cfg.coord_bits
-    # step-2 ladder: cell area jumps 4x (d=2) per rung, plenty of resolution
-    # for a candidate-count target while halving the exploded histogram rows
-    ladder = list(range(level_floor, level_cap + 1, 2))
-    if len(ladder) == 1:
-        return qdf.withColumn("level", F.lit(ladder[0]).cast("int"))
+    d, cb = index.cfg.dims, index.cfg.coord_bits
+    thresh = max(target, 3 * k)
 
-    # one tiny agg of the cached metadata decides whether the ladder is
-    # worth paying for: when the hottest index cell is within ~4x of the
-    # mean (no Varden-style density spread), every query gets the floor
-    # level and the histogram pass is skipped — the kd-tree analog is a
-    # balanced tree whose depth needs no per-leaf adaptation
+    # occupancy-gated uniform shortcut: only when the hottest cell is near
+    # the mean AND most level-L cells are occupied (a uniform subregion —
+    # e.g. the duplicate lattice — passes the max/avg test but fails
+    # occupancy, and must take the ladder) does every query get one
+    # closed-form level from the mean occupied-cell density.
     s = index.meta.agg(
-        F.sum("cnt").alias("n"), F.max("cnt").alias("mx"), F.avg("cnt").alias("av")
+        F.max("cnt").alias("mx"), F.avg("cnt").alias("av"), F.count(F.lit(1)).alias("cells")
     ).collect()[0]
-    n_est = int(s["n"] or 0)
-    if s["mx"] is not None and s["av"] and float(s["mx"]) <= 4.0 * float(s["av"]):
-        # uniform-density shortcut: the single level at which the expected
-        # 3^d-neighborhood holds ~thresh points (what the ladder would pick
-        # for every query anyway, computed from the mean instead)
-        thresh0 = max(target, 3 * k)
-        per_cell = max(1.0, thresh0 / float(3**d))
-        lvl0 = int(round(math.log2(max(2.0, n_est / per_cell)) / d))
-        lvl0 = max(ladder[0], min(ladder[-1], lvl0))
+    L = index.cfg.index_level
+    full_cells = float(1 << (d * L)) if d * L < 62 else float("inf")
+    occupied = float(s["cells"] or 0)
+    if (
+        s["mx"] is not None
+        and s["av"]
+        and float(s["mx"]) <= 4.0 * float(s["av"])
+        and occupied >= 0.5 * full_cells
+    ):
+        av = float(s["av"])
+        lvl0 = L + int(round(math.log2(max(1.0, av * (3**d) / thresh)) / d))
+        lvl0 = max(level_floor, min(level_cap, lvl0))
         return qdf.withColumn("level", F.lit(lvl0).cast("int"))
 
-    src = index.points
-    scale = 1.0
-    if n_est > HIST_SAMPLE_ROWS:
-        frac = HIST_SAMPLE_ROWS / n_est
-        src = src.sample(fraction=frac, seed=42)
-        scale = 1.0 / frac
-    lvl_cells = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(lvl).cast("int").alias("lvl"),
-                    F.shiftrightunsigned("morton", d * (kb - lvl)).alias("c"),
-                )
-                for lvl in ladder
-            ]
-        )
-    ).alias("s")
-    # one materialization: the rung lookups below must not re-run the
-    # sample + explode + groupBy lineage per rung
-    hist = (
-        src.select(lvl_cells)
-        .select(F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"))
-        .groupBy("lvl", "c")
-        .agg((F.count(F.lit(1)) * F.lit(scale)).cast("long").alias("hcnt"))
-        .localCheckpoint(eager=True)
-    )
-
-    thresh = max(target, 3 * k)
     neigh = 3**d  # 3^d-neighborhood upper bound under local uniformity
-    # ONE join does every rung at once: explode the query's (rung, home
-    # cell) pairs, left-join the histogram, then pick the first (minimum)
-    # rung whose neighborhood estimate fits the target; the last rung is
-    # the unconditional fallback. Two shuffles total, ladder-independent.
-    homes = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(lvl).cast("int").alias("lvl"), _home_cell_expr(d, cb, lvl).alias("c"))
-                for lvl in ladder[:-1]
-            ]
+
+    # --- stage 1: exact coarse pick (levels <= index_level) from the
+    # metadata rollup — min rung whose home-cell estimate fits the target;
+    # the (dense-cells-only) histogram broadcasts, queries never shuffle
+    # against the points.
+    hist, levels = index.density_ladder(target=target)
+    rungs = [lvl for lvl in levels if level_floor <= lvl <= level_cap]
+    out = qdf
+    if rungs:
+        homes = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(lvl).cast("int").alias("lvl"), _home_cell_expr(d, cb, lvl).alias("c"))
+                    for lvl in rungs
+                ]
+            )
+        ).alias("s")
+        qx = qdf.select("qid", homes).select("qid", F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"))
+        pick = (
+            qx.join(F.broadcast(hist), ["lvl", "c"], "left")
+            .groupBy("qid")
+            .agg(
+                F.min(
+                    F.when(F.coalesce(F.col("hcnt"), F.lit(0)) * neigh <= thresh, F.col("lvl"))
+                ).alias("_lv")
+            )
         )
-    ).alias("s")
-    qx = qdf.select("qid", homes).select("qid", F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"))
-    pick = (
-        qx.join(hist, ["lvl", "c"], "left")
-        .groupBy("qid")
-        .agg(
-            F.min(
-                F.when(F.coalesce(F.col("hcnt"), F.lit(0)) * neigh <= thresh, F.col("lvl"))
-            ).alias("_lv")
-        )
+        out = qdf.join(pick, "qid", "left")
+    else:
+        out = qdf.withColumn("_lv", F.lit(None).cast("int"))
+
+    # --- stage 2: closed-form DEEP level for queries whose every coarse
+    # rung is too dense (they sit in a hot index cell). The meta row's
+    # count + occupied bbox give the local density directly — the varden
+    # generator (and most real clusters) is uniform INSIDE a cluster, so
+    # pick the width w where a 3^d neighborhood holds ~thresh points:
+    #   w = bbox_side * (thresh/cnt)^(1/d) / 3  ->  level = cb - log2(w).
+    # A query OUTSIDE the occupied bbox is clamped so that one ring spans
+    # its gap to the bbox (else an OOD query next to a tight cluster would
+    # ring many rounds across empty fine cells). Replaces round 2's
+    # per-call sampled fine histogram: zero passes over the points.
+    L = index.cfg.index_level
+    home_L = _home_cell_expr(d, cb, L)
+    m = F.broadcast(index.meta)
+    out = out.join(m, home_L == F.col("cell"), "left")
+    bbox = F.greatest(*[F.col(f"mx{j}") - F.col(f"mn{j}") + 1 for j in range(d)]) if d > 1 else (
+        F.col("mx0") - F.col("mn0") + 1
     )
-    return qdf.join(pick, "qid", "left").select(
-        *qdf.columns, F.coalesce(F.col("_lv"), F.lit(ladder[-1])).cast("int").alias("level")
+    w_dens = bbox * F.pow(F.lit(float(thresh)) / F.col("cnt"), 1.0 / d) / 3.0
+    lvl_dens = F.lit(cb) - F.floor(F.log2(F.greatest(w_dens, F.lit(1.0))))
+    gap = F.greatest(
+        *[
+            F.greatest(F.col(f"mn{j}") - F.col(f"q{j}"), F.col(f"q{j}") - F.col(f"mx{j}"), F.lit(0))
+            for j in range(d)
+        ],
+        F.lit(0),
+    )
+    lvl_gap = F.lit(cb) - F.ceil(F.log2(F.greatest(gap.cast("double"), F.lit(1.0))))
+    lvl_deep = F.least(
+        F.greatest(F.least(lvl_dens, lvl_gap), F.lit(level_floor)), F.lit(level_cap)
+    ).cast("int")
+    fallback = F.coalesce(lvl_deep, F.lit(max(level_floor, min(level_cap, L))))
+    return out.select(
+        *qdf.columns, F.coalesce(F.col("_lv"), fallback).cast("int").alias("level")
     )
 
 
@@ -192,34 +216,53 @@ def _home_cell_expr(d: int, cb: int, lvl: int):
 
 
 def _candidate_cells(qpd: pd.DataFrame, d: int, coord_bits: int) -> pd.DataFrame:
-    """(qid, level, cell) for all cells within each query's Chebyshev radius
-    ``r`` at its grid ``level``. Vectorized per (level, r) group; clipped to
-    the grid and deduplicated."""
+    """(qid, level, cell) for the cells in each query's Chebyshev SHELL
+    (r_prev, r] at its grid ``level`` (r_prev = r//2; round 1 includes the
+    home cell). Vectorized per (level, r) group; out-of-grid cells are
+    DROPPED (no points live there), so shells never collide across rounds
+    and the carried top-k merge stays multiset-exact."""
     frames = []
     for (level, r), grp in qpd.groupby(["level", "r"]):
         level, r = int(level), int(r)
+        # callers route meshes past MESH_CAP to the exhaustive branch
+        assert d * math.log2(2 * r + 1) <= MESH_CAP_LOG2 + 1e-9
+        r_lo = 0 if r == 1 else r // 2  # exclusive inner radius of the shell
         w_shift = coord_bits - level
         gmax = (1 << level) - 1
         g = np.stack([grp[f"q{j}"].to_numpy(dtype=np.int64) >> w_shift for j in range(d)], axis=1)
         rng = np.arange(-r, r + 1)
         mesh = np.stack(np.meshgrid(*([rng] * d), indexing="ij"), axis=-1).reshape(-1, d)
-        cells = np.clip(g[:, None, :] + mesh[None, :, :], 0, gmax)
+        cheb = np.abs(mesh).max(axis=1)
+        mesh = mesh[(cheb > r_lo) | (r == 1)] if r > 1 else mesh
+        cells = g[:, None, :] + mesh[None, :, :]  # (m, c, d)
+        ok = ((cells >= 0) & (cells <= gmax)).all(axis=2)  # drop, don't clip
         m, c, _ = cells.shape
-        enc = morton_encode_np(cells.reshape(-1, d), bits=level).reshape(m, c)
+        qid_rep = np.repeat(grp["qid"].to_numpy(), c).reshape(m, c)
+        flat = cells.reshape(-1, d)[ok.reshape(-1)]
+        if not len(flat):
+            continue
+        enc = morton_encode_np(flat, bits=level)
         frames.append(
             pd.DataFrame(
                 {
-                    "qid": np.repeat(grp["qid"].to_numpy(), c),
+                    "qid": qid_rep.reshape(-1)[ok.reshape(-1)],
                     "level": np.int32(level),
-                    "cell": enc.reshape(-1),
+                    "cell": enc,
                 }
-            ).drop_duplicates(ignore_index=True)
+            )
         )
     if not frames:
         return pd.DataFrame({"qid": pd.Series(dtype="int64"),
                              "level": pd.Series(dtype="int32"),
                              "cell": pd.Series(dtype="int64")})
     return pd.concat(frames, ignore_index=True)
+
+
+def _exh_cond(d: int):
+    """Column predicate: this round's offset mesh would exceed MESH_CAP —
+    the query takes the exhaustive branch (shared by the branch split and
+    the termination expression; both sides must agree row-for-row)."""
+    return F.lit(float(d)) * F.log2(F.lit(2.0) * F.col("r") + F.lit(1.0)) > F.lit(MESH_CAP_LOG2)
 
 
 def knn(
@@ -240,7 +283,8 @@ def knn(
     (dist2, key, span_idx); duplicate points count as distinct neighbors
     (multiset semantics — dummy-leaf multiplicity, build_tree.hpp:183-186).
     With return_stats=True returns (result, stats) where stats is a
-    per-query (qid, rounds, cand_rows) DataFrame (V3 introspection).
+    per-query (qid, rounds, cand_rows) DataFrame (V3 introspection;
+    cand_rows is cumulative across rounds).
     """
     spark = index.points.sparkSession
     cfg: EngineConfig = index.cfg
@@ -264,8 +308,17 @@ def knn(
     else:
         qdf = qdf.withColumn("level", F.lit(level).cast("int"))
 
-    pend = qdf.withColumn("r", F.lit(1).cast("long")).localCheckpoint(eager=True)
-    n_pend = pend.count()
+    empty_tk = F.expr(f"CAST(array() AS {_ENTRY_ARR})")
+    pend = (
+        qdf.withColumn("r", F.lit(1).cast("long"))
+        .withColumn("tk", empty_tk)
+        .withColumn("cnt", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    row = pend.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_exh_cond(d).cast("long")).alias("ne")
+    ).collect()[0]
+    n_pend, n_exh = int(row["n"]), int(row["ne"] or 0)
 
     dist2 = None
     for j in range(d):
@@ -283,83 +336,154 @@ def knn(
             if len(pdf):
                 yield _candidate_cells(pdf, d, cb)
 
+    # bytes-aware broadcast limits (rows): see BROADCAST_BYTES note above
+    cells_bcast_rows = BROADCAST_BYTES // 16
+    qside_bcast_rows = BROADCAST_BYTES // (8 * (d + 3))
+
     result_parts: list[DataFrame] = []
     stats_parts: list[DataFrame] = []
 
     for rnd in range(1, max_rounds + 1):
         if n_pend == 0:
             break
-        # ring-cell generation INSIDE executors (data-independent per query);
-        # persisted so the per-level branches share one materialization.
-        # One tiny agg on the cached cells yields the exact per-level cell
-        # counts: the level list for branch construction AND the broadcast
-        # decision in a single O(levels)-row action.
-        cells = pend.mapInPandas(_gen_cells, schema="qid long, level int, cell long").persist()
-        lvl_counts = {r["level"]: r["n"] for r in cells.groupBy("level").agg(F.count(F.lit(1)).alias("n")).collect()}
-        bcast = sum(lvl_counts.values()) <= BROADCAST_CELL_ROWS
-        levels = sorted(lvl_counts)
+        exh = _exh_cond(d)
+        branches: list[DataFrame] = []
 
-        branches = []
-        for lvl in levels:
-            cl = cells.where(F.col("level") == lvl).select("qid", "cell")
-            if bcast:
-                cl = F.broadcast(cl)
-            p = index.points.withColumn("pcell", F.shiftrightunsigned("morton", d * (kb - lvl)))
-            branches.append(p.join(cl, p.pcell == cl.cell).drop("cell"))
+        # --- mesh branch: shell cells -> ONE equi-join on (level, pcell) ---
+        mesh_pend = pend.where(~exh)
+        if n_exh < n_pend:
+            cells = mesh_pend.select("qid", *qcols, "level", "r").mapInPandas(
+                _gen_cells, schema="qid long, level int, cell long"
+            ).persist()
+            lvl_counts = {
+                r2["level"]: r2["n"]
+                for r2 in cells.groupBy("level").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            levels = sorted(lvl_counts)
+            if levels:
+                # points side exploded ONCE over the levels present this
+                # round (usually 1-3): one scan, one join — not a union of
+                # per-level branch joins (round 2's exchange pile-up)
+                lvl_cells = F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(lvl).cast("int").alias("lvl"),
+                                F.shiftrightunsigned("morton", d * (kb - lvl)).alias("pc"),
+                            )
+                            for lvl in levels
+                        ]
+                    )
+                ).alias("s")
+                p = index.points.select("*", lvl_cells).select(
+                    *index.points.columns, F.col("s.lvl").alias("plvl"), F.col("s.pc").alias("pcell")
+                )
+                cl = cells.select("qid", F.col("level").alias("clvl"), "cell")
+                if sum(lvl_counts.values()) <= cells_bcast_rows:
+                    cl = F.broadcast(cl)
+                mesh_cand = p.join(cl, (p.plvl == cl.clvl) & (p.pcell == cl.cell)).drop(
+                    "clvl", "cell", "plvl"
+                )
+                qside = mesh_pend.select("qid", *qcols)
+                if n_pend - n_exh <= qside_bcast_rows:
+                    qside = F.broadcast(qside)
+                branches.append(mesh_cand.join(qside, "qid"))
+        else:
+            cells = None
+
+        # --- exhaustive branch: filtered full scan for over-mesh queries ---
+        if n_exh > 0:
+            exh_pend = pend.where(exh).select("qid", *qcols, "level", "r")
+            if n_exh <= qside_bcast_rows:
+                exh_pend = F.broadcast(exh_pend)
+            # Chebyshev cell distance beyond the already-scanned radius
+            # r_prev = r//2 (shells stay disjoint + exhaustive)
+            cheb = None
+            for j in range(d):
+                t = F.abs(
+                    F.expr(f"shiftrightunsigned(x{j}, CAST({cb} - level AS INT))")
+                    - F.expr(f"shiftrightunsigned(q{j}, CAST({cb} - level AS INT))")
+                )
+                cheb = t if cheb is None else F.greatest(cheb, t)
+            r_prev = F.when(F.col("r") == 1, F.lit(-1)).otherwise(F.col("r") / 2).cast("long")
+            exh_cand = (
+                index.points.crossJoin(exh_pend)
+                .where(cheb > r_prev)
+                .withColumn("pcell", F.expr(f"shiftrightunsigned(morton, CAST({d} * ({kb} - level) AS INT))"))
+                .drop("level", "r")
+            )
+            branches.append(exh_cand)
+
+        if not branches:
+            break
         cand = branches[0]
         for b in branches[1:]:
             cand = cand.unionByName(b)
-        qside = pend.select("qid", *qcols)
-        if n_pend <= BROADCAST_CELL_ROWS:
-            qside = F.broadcast(qside)
-        cand = cand.join(qside, "qid")
 
         lvl1 = cand.groupBy("qid", "pcell").agg(
             F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("tk"),
             F.count(F.lit(1)).alias("c"),
         )
         lvl2 = lvl1.groupBy("qid").agg(
-            F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, k).alias("tk"),
-            F.sum("c").alias("cnt"),
-        )
-        st = lvl2.select(
-            "qid", "tk", "cnt",
-            F.try_element_at(F.col("tk"), F.lit(k)).getField("dist2").alias("kth"),
+            F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, k).alias("tk_new"),
+            F.sum("c").alias("c_new"),
         )
 
-        # termination as COLUMN expressions over pend ⋈ stats — the ring
-        # lower bound (r*w)^2 vs kth distance (nn_search.hpp:121-123).
-        # ONE eager checkpoint materializes the round (flags included);
-        # round results and the next pending set derive from it lazily, so
-        # the heavy candidate join runs exactly once per round and the
-        # driver issues 3 actions/round total (cells are persisted lazily).
-        cnt0 = F.coalesce(F.col("cnt"), F.lit(0))
-        rw2_ok = F.col("kth").isNotNull() & (
-            F.col("kth") <= F.expr(f"shiftleft(r, CAST({cb} - level AS INT)) * shiftleft(r, CAST({cb} - level AS INT))")
+        # termination as COLUMN expressions over pend ⋈ round-stats: merge
+        # the carried top-k with this shell's, then apply the ring lower
+        # bound (r*w)^2 vs kth distance (nn_search.hpp:121-123). ONE eager
+        # checkpoint materializes the round; results and the next pending
+        # set derive from it lazily (heavy join runs once; 3 driver
+        # actions/round independent of query count).
+        merged = F.slice(
+            F.array_sort(F.concat(F.col("tk"), F.coalesce(F.col("tk_new"), empty_tk))), 1, k
         )
-        covered_all = F.expr("2 * r + 1") >= F.expr("shiftleft(CAST(2 AS BIGINT), level)")
-        done = ((cnt0 >= k) & rw2_ok) | (covered_all & (cnt0 > 0))
-        drop = covered_all & (cnt0 == 0)
         j = (
-            pend.join(st, "qid", "left")
-            .withColumn("_done", done)
-            .withColumn("_drop", drop)
-            .withColumn("cand_rows", cnt0)
+            pend.join(lvl2, "qid", "left")
+            .withColumn("tk_m", merged)
+            .withColumn("cnt_m", F.col("cnt") + F.coalesce(F.col("c_new"), F.lit(0)))
+            .withColumn("kth", F.try_element_at(F.col("tk_m"), F.lit(k)).getField("dist2"))
+            .withColumn(
+                "_covered",
+                _exh_cond(d)
+                | (F.expr("2 * r + 1") >= F.expr("shiftleft(CAST(2 AS BIGINT), level)")),
+            )
+            .withColumn(
+                "_done",
+                (
+                    (F.col("cnt_m") >= k)
+                    & F.col("kth").isNotNull()
+                    & (
+                        F.col("kth")
+                        <= F.expr(
+                            f"shiftleft(r, CAST({cb} - level AS INT)) * shiftleft(r, CAST({cb} - level AS INT))"
+                        )
+                    )
+                )
+                | (F.col("_covered") & (F.col("cnt_m") > 0)),
+            )
+            .withColumn("_drop", F.col("_covered") & (F.col("cnt_m") == 0))
             .localCheckpoint(eager=True)
         )
 
         res_round = j.where("_done").select(
-            "qid", "tk", F.lit(rnd).cast("int").alias("rounds"), "cand_rows"
+            "qid", F.col("tk_m").alias("tk"), F.lit(rnd).cast("int").alias("rounds"),
+            F.col("cnt_m").alias("cand_rows"),
         )
         result_parts.append(res_round)
         if return_stats:
             stats_parts.append(res_round.select("qid", "rounds", "cand_rows"))
 
         pend = j.where("NOT _done AND NOT _drop").select(
-            "qid", *qcols, "level", (F.col("r") * 2).alias("r")
+            "qid", *qcols, "level", (F.col("r") * 2).alias("r"),
+            F.col("tk_m").alias("tk"), F.col("cnt_m").alias("cnt"),
         )
-        n_pend = pend.count()  # cheap: scans the checkpointed round frame
-        cells.unpersist()
+        row = pend.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(_exh_cond(d).cast("long")).alias("ne")
+        ).collect()[0]  # cheap: scans the checkpointed round frame
+        n_pend, n_exh = int(row["n"]), int(row["ne"] or 0)
+        if cells is not None:
+            cells.unpersist()
 
     if not result_parts:
         empty = spark.createDataFrame([], schema=RESULT_SCHEMA)

@@ -121,22 +121,25 @@ def _cover_levels(covers) -> list[int]:
     return sorted(r["level"] for r in covers.select("level").distinct().collect())
 
 
-def _cover_slice(spark, covers, level: int, interior: bool | None):
-    """Covers at one level (qid, cell, interior) as a DataFrame, or None if
+def _cover_slice(spark, covers, interior: bool | None):
+    """All cover cells (qid, lvl, c, interior) as ONE DataFrame, or None if
     provably empty. pandas covers (small) come back broadcast-hinted;
     DataFrame covers are left unhinted — the cell join shuffles and AQE
     picks the strategy (the large-batch path)."""
     if isinstance(covers, pd.DataFrame):
-        sel = covers[covers.level == level]
+        sel = covers
         if interior is not None:
-            sel = sel[sel.interior == interior] if interior else sel[~sel.interior]
+            sel = sel[sel.interior] if interior else sel[~sel.interior]
         if sel.empty:
             return None
-        return F.broadcast(spark.createDataFrame(sel[["qid", "cell", "interior"]]))
-    sel = covers.where(F.col("level") == level)
+        df = spark.createDataFrame(sel[["qid", "level", "cell", "interior"]])
+        return F.broadcast(
+            df.select("qid", F.col("level").alias("lvl"), F.col("cell").alias("c"), "interior")
+        )
+    sel = covers
     if interior is not None:
         sel = sel.where(F.col("interior") == interior)
-    return sel.select("qid", "cell", "interior")
+    return sel.select("qid", F.col("level").alias("lvl"), F.col("cell").alias("c"), "interior")
 
 
 def _box_regions(boxes: pd.DataFrame, d: int):
@@ -191,52 +194,68 @@ def _polygon_pred() -> Column:
 # core two-branch plan
 # ---------------------------------------------------------------------------
 
+def _lvl_cell_explode(src_col: str, levels: list[int], d: int, top_bits_level: int):
+    """Generator column: (lvl, c) pairs of ``src_col``'s ancestor cell at
+    each cover level — ONE explode instead of one scan per level.
+    ``top_bits_level`` is the level src_col itself is encoded at."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(lvl)).cast("int").alias("lvl"),
+                    (
+                        F.shiftrightunsigned(src_col, d * (top_bits_level - int(lvl)))
+                        if int(lvl) < top_bits_level
+                        else F.col(src_col)
+                    ).alias("c"),
+                )
+                for lvl in levels
+            ]
+        )
+    ).alias("s")
+
+
 def _interior_counts(index: SpatialIndex, covers) -> DataFrame | None:
     """SUM per-cell metadata counts for fully-contained cover cells —
     answers without touching point rows (range_count.hpp:79-80 analog).
-    ``covers`` is pandas (small batch) or a DataFrame (large batch)."""
+    ``covers`` is pandas (small batch) or a DataFrame (large batch).
+
+    ONE join: the (small, persisted) metadata table is exploded once over
+    the distinct cover levels and equi-joined on (lvl, cell); one groupBy.
+    Round 2 unioned a join-plus-aggregate per level — 31 exchanges for a
+    64-box plan (BENCH/PLANS.md:50) and the 0.27-0.48 bracket scaling
+    efficiencies; this plan has one aggregate exchange total."""
     spark = index.points.sparkSession
     d, L = index.cfg.dims, index.cfg.index_level
-    parts = []
-    for level in _cover_levels(covers):
-        cdf = _cover_slice(spark, covers, level, interior=True)
-        if cdf is None:
-            continue
-        cdf = cdf.select("qid", F.col("cell").alias("qcell"))
-        shift = d * (L - int(level))
-        m = index.meta.withColumn("pcell", F.shiftrightunsigned("cell", shift) if shift else F.col("cell"))
-        parts.append(
-            m.join(cdf, m.pcell == cdf.qcell).groupBy("qid").agg(F.sum("cnt").alias("cnt"))
-        )
-    if not parts:
+    cdf = _cover_slice(spark, covers, interior=True)
+    if cdf is None:
         return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    levels = _cover_levels(covers)
+    m = index.meta.select(_lvl_cell_explode("cell", levels, d, L), "cnt").select(
+        F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"), "cnt"
+    )
+    if not isinstance(covers, pd.DataFrame):
+        m = F.broadcast(m)  # meta is ~n/leaf_target rows; covers may be huge
+    return m.join(cdf, ["lvl", "c"]).groupBy("qid").agg(F.sum("cnt").alias("cnt"))
 
 
 def _boundary_candidates(index: SpatialIndex, covers, interior_too: bool = False) -> DataFrame | None:
-    """Point rows inside cover cells, tagged with qid (per-level equi-joins
-    on the Morton prefix — the candidate-generation join; broadcast for
-    small cover sets, shuffle join for DataFrame covers)."""
+    """Point rows inside cover cells, tagged with qid — ONE equi-join on
+    (lvl, cell) with the points side exploded once over the distinct cover
+    levels (single scan; with broadcast covers the explode+join pipelines
+    inside one codegen stage and non-matching rows never materialize).
+    Broadcast for small cover sets, shuffle join for DataFrame covers."""
     spark = index.points.sparkSession
     d, gb = index.cfg.dims, index.cfg.grid_bits
-    parts = []
-    for level in _cover_levels(covers):
-        cdf = _cover_slice(spark, covers, level, interior=None if interior_too else False)
-        if cdf is None:
-            continue
-        cdf = cdf.select("qid", F.col("cell").alias("qcell"), "interior")
-        shift = d * (gb - int(level))
-        pts = index.points.withColumn("pcell", F.shiftrightunsigned("morton", shift))
-        parts.append(pts.join(cdf, pts.pcell == cdf.qcell).drop("pcell", "qcell"))
-    if not parts:
+    cdf = _cover_slice(spark, covers, interior=None if interior_too else False)
+    if cdf is None:
         return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    levels = _cover_levels(covers)
+    base = index.points.columns
+    pts = index.points.select("*", _lvl_cell_explode("morton", levels, d, gb)).select(
+        *base, F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c")
+    )
+    return pts.join(cdf, ["lvl", "c"]).drop("lvl", "c")
 
 
 def _finalize_counts(queries_df: DataFrame, branches: list[DataFrame | None], small: bool) -> DataFrame:
