@@ -235,17 +235,22 @@ def _q_report_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sliding_window_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 analog: timestamped CSV ingest; the sliding window is driven by
     the TIME column (period = year(ts)), not key arithmetic."""
+    import shutil
     import tempfile
 
     from pkd_tree_spark.ingest import period_batches, read_timestamped_csv, write_timestamped_csv
 
     tmp = tempfile.mkdtemp(prefix="pkd_ts_csv_")
-    write_timestamped_csv(spark, sf_dir, tmp, dims=D)
-    pts = read_timestamped_csv(spark, tmp, dims=D)
-    nots = pts.drop("ts")
-    idx = SpatialIndex.build(nots.where(F.lit(False)), _CFG)  # start empty
-    idx = sliding_window(idx, period_batches(pts), window_len=WINDOW_LEN)
-    return _grid_cells(idx, WINDOW_LEVEL)
+    try:
+        write_timestamped_csv(spark, sf_dir, tmp, dims=D)
+        pts = read_timestamped_csv(spark, tmp, dims=D)
+        nots = pts.drop("ts")
+        idx = SpatialIndex.build(nots.where(F.lit(False)), _CFG)  # start empty
+        idx = sliding_window(idx, period_batches(pts), window_len=WINDOW_LEN)
+        # materialize the (small) grid before deleting the CSV it reads from
+        return _grid_cells(idx, WINDOW_LEVEL).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _q_sliding_window(dist: str):

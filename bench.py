@@ -203,6 +203,46 @@ def run_suite() -> dict:
     ins10 = timed("batch_insert_10pct", _do_insert10, items=bn10)
     timed("batch_delete_10pct", lambda: merge_delete(ins10, batch10.select("key")).points.count(), items=bn10)
 
+    # incremental-build step-ratio sweep (the reference sweeps {10,20,25,50}%
+    # insertion steps, testFramework.h:209-254); per-ratio total build time.
+    # Skipped in --scaling runs (REPLICATE>1): the scaling table tracks the
+    # headline query ops, and the sweep would triple each level's wall time.
+    base_pts = load_points(spark, SF_DIR, dims=2, dist="uniform", keys_df=keys_df)
+    for ratio in () if REPLICATE > 1 else (10, 20, 25, 50):
+        steps = 100 // ratio
+
+        def _inc(steps=steps):
+            from pkd_tree_spark.updates import merge_insert as _mi
+
+            inc = SpatialIndex.build(base_pts.where(F.col("key") % steps == 0), idx["uniform"].cfg)
+            for s in range(1, steps):
+                inc = _mi(inc, base_pts.where(F.col("key") % steps == s), persist=False)
+                inc = SpatialIndex(  # truncate lineage per step (as U7/U8 do)
+                    points=inc.points.localCheckpoint(eager=True),
+                    meta=inc.meta.localCheckpoint(eager=True),
+                    cfg=inc.cfg,
+                )
+            return inc.points.count()
+
+        timed(f"incremental_build_r{ratio}", _inc, items=n_points)
+
+    # ann_lsh recall vs the exact MIPS baseline (approximate operator: the
+    # gate checks rows only, so a recall regression must surface HERE)
+    ann_recall = None
+    try:
+        from pkd_tree_spark.pipeline.similarity import ann_lsh, topk_dot
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        exact = {(r["qid"], r["vec_id"]) for r in topk_dot(emb).collect()}
+
+        def _ann():
+            return {(r["qid"], r["vec_id"]) for r in ann_lsh(emb).collect()}
+
+        approx = timed("ann_lsh", _ann)
+        ann_recall = round(len(exact & approx) / max(1, len(exact)), 4)
+    except Exception:  # noqa: BLE001 — embeddings table may be absent at some SFs
+        pass
+
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     return {
@@ -217,6 +257,7 @@ def run_suite() -> dict:
         "throughput": thr,
         "knn_stats": knn_stats,
         "range_stats": range_stats,
+        "ann_recall_at_10": ann_recall,
     }
 
 

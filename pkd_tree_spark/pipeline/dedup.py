@@ -88,7 +88,11 @@ def ngram_jaccard_pairs(
     pairs are near-duplicates of boilerplate, the standard exclusion
     (MinHash pipelines use the same df cap). At the testdata max df = 7,
     so the cap never binds and the output equals the uncapped join."""
-    tri = _trigrams(docs).persist()
+    # eager localCheckpoint, not persist: tri feeds four branches (df,
+    # candidates, common, sizes); the checkpointed RDD is released by the
+    # ContextCleaner when the result goes out of scope — persist() here
+    # leaked cache blocks across the session (round-2 finding)
+    tri = _trigrams(docs).localCheckpoint(eager=True)
     df = tri.groupBy("trig").agg(F.count(F.lit(1)).alias("df_"))
     rare = tri.join(df.where(F.col("df_") <= df_cap), "trig").select("doc_id", "trig")
     cand = (
@@ -185,11 +189,33 @@ def quantized_embeddings(emb: DataFrame, scale: int = 1000) -> DataFrame:
     return out.select("vec_id", "qv", norm2.alias("norm2"))
 
 
-EMB_BLOCK_PLANES = 4  # 2^4 = 16 direction-coherent blocks
+EMB_BLOCK_PLANES = 4  # 2^4 = 16 direction-coherent blocks (floor; auto-scales)
+EMB_TILE_ROWS = 8192  # max rows per GEMM tile side (bounds task memory)
+
+
+def tile_block_pairs(
+    bsize: dict[int, int], pair_rows: list[tuple[int, int]], tile_rows: int
+) -> list[tuple]:
+    """Expand surviving block pairs into bounded GEMM tile pairs.
+
+    T[blk] = ceil(size/tile_rows) tiles per side; tile id = vec_id % T, so
+    every tile holds <= ceil(size/T) ~= tile_rows vectors. Self-pair blocks
+    emit only ta <= tb (the GEMM's ia != ib filter + min/max output keeps
+    per-pair uniqueness). Rows: (blk_a, blk_b, ta, tb, T_a, T_b, pk)."""
+    ntiles = {b: max(1, -(-bsize[b] // tile_rows)) for b in bsize}
+    rows = []
+    for ba, bb in pair_rows:
+        for ta in range(ntiles[ba]):
+            for tb in range(ta if ba == bb else 0, ntiles[bb]):
+                rows.append((ba, bb, ta, tb, ntiles[ba], ntiles[bb], f"{ba}_{bb}_{ta}_{tb}"))
+    return rows
 
 
 def embedding_dup_pairs(
-    emb: DataFrame, permille: int = EMB_DUP_PERMILLE, block_planes: int = EMB_BLOCK_PLANES
+    emb: DataFrame,
+    permille: int = EMB_DUP_PERMILLE,
+    block_planes: int | None = None,
+    tile_rows: int = EMB_TILE_ROWS,
 ) -> DataFrame:
     """Near-duplicate vector pairs by EXACT integer cosine^2 test:
     (1000*dot)^2 >= permille^2 * na * nb, dot > 0. (vec_a, vec_b, dot).
@@ -208,18 +234,24 @@ def embedding_dup_pairs(
          margin) is below the threshold provably contains no result pair —
          EXACT pruning, unlike LSH candidate generation (the result pairs
          here sit ON the 0.25 threshold, where any hash scheme loses pairs);
-      4. surviving block pairs compute their n_a x n_b dot products as one
-         vectorized numpy matmul inside applyInPandas (Arrow-batched), with
-         a cheap float prescreen and an exact arbitrary-precision integer
-         check on the survivors.
+      4. surviving block pairs are TILED into (<= tile_rows x <= tile_rows)
+         chunk pairs — pk = (blk_a, blk_b, tile_a, tile_b) — so one
+         applyInPandas task holds two bounded tiles, never two full blocks
+         (round 2 put a whole block pair in ONE task: a 16-task
+         parallelism ceiling and OOM at 10^9 vectors); each tile pair
+         computes its dot products as one vectorized numpy matmul
+         (Arrow-batched), float prescreen + exact integer check.
 
     Work is Θ(sum over surviving block pairs of n_a*n_b) — quadratic in the
     worst case (a dense 0.25-threshold all-pairs join over DENSE vectors
     has no sub-quadratic exact algorithm) but pruned hard on clustered
-    data, balanced into block-pair tasks, and each vector is shuffled at
-    most once per surviving partner block (vs the crossJoin's n copies).
-    The approximate scale path with recall dialed by probe count remains
-    similarity.ann_lsh."""
+    data, balanced into bounded tile tasks, and each vector is shuffled
+    once per partner TILE (the data-movement price of bounded memory).
+    block_planes auto-scales with table size (more blocks = finer pruning,
+    B^2 centroid work stays driver-trivial). The approximate scale path
+    with recall dialed by probe count remains similarity.ann_lsh."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -227,12 +259,11 @@ def embedding_dup_pairs(
 
     spark = emb.sparkSession
     thr = permille / 1000.0
-    q = (
-        quantized_embeddings(emb)
-        .where(F.col("norm2") > 0)  # zero vectors can never satisfy dot > 0
-        .withColumn("blk", lsh_bucket_col("qv", block_planes).cast("int"))
-        .persist()
-    )
+    base = quantized_embeddings(emb).where(F.col("norm2") > 0).localCheckpoint(eager=True)
+    if block_planes is None:
+        n_vec = base.count()
+        block_planes = min(10, max(EMB_BLOCK_PLANES, int(math.log2(max(n_vec, 1) / 4000 + 1)) + 4))
+    q = base.withColumn("blk", lsh_bucket_col("qv", block_planes).cast("int"))
 
     # --- block summaries: centroid (explode + groupBy: scales) ------------
     cent_pd = (
@@ -287,18 +318,24 @@ def embedding_dup_pairs(
         if keep[i, j]
     ]
     if not pair_rows:
-        q.unpersist()
         return spark.createDataFrame([], schema="vec_a long, vec_b long, dot long")
-    pairs = spark.createDataFrame(pd.DataFrame(pair_rows, columns=["blk_a", "blk_b"]))
 
-    # --- surviving block pairs: vectorized GEMM + exact integer check -----
+    # --- tile the surviving block pairs: pk = (blk_a, blk_b, ta, tb) ------
+    # block sizes are already on the driver (cent_pd carries n per block)
+    bsize = {int(b): int(n) for b, n in cent_pd.groupby("blk")["n"].first().items()}
+    tp_rows = tile_block_pairs(bsize, pair_rows, tile_rows)
+    tp = spark.createDataFrame(
+        pd.DataFrame(tp_rows, columns=["blk_a", "blk_b", "ta", "tb", "na_t", "nb_t", "pk"])
+    )
+
+    # --- surviving tile pairs: vectorized GEMM + exact integer check ------
     side_a = (
-        q.join(F.broadcast(pairs), q.blk == pairs.blk_a)
-        .select(F.concat_ws("_", "blk_a", "blk_b").alias("pk"), F.lit(0).alias("side"), "vec_id", "qv", "norm2")
+        q.join(F.broadcast(tp), (q.blk == tp.blk_a) & (q.vec_id % tp.na_t == tp.ta))
+        .select("pk", F.lit(0).alias("side"), "vec_id", "qv", "norm2")
     )
     side_b = (
-        q.join(F.broadcast(pairs), q.blk == pairs.blk_b)
-        .select(F.concat_ws("_", "blk_a", "blk_b").alias("pk"), F.lit(1).alias("side"), "vec_id", "qv", "norm2")
+        q.join(F.broadcast(tp), (q.blk == tp.blk_b) & (q.vec_id % tp.nb_t == tp.tb))
+        .select("pk", F.lit(1).alias("side"), "vec_id", "qv", "norm2")
     )
     both = side_a.unionByName(side_b)
     t2 = permille * permille

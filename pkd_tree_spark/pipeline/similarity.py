@@ -47,10 +47,11 @@ def topk_dot(emb: DataFrame, n_queries: int = 16, k: int = 10) -> DataFrame:
     )
 
 
-def lsh_bucket_col(qv_col: str, n_planes: int = 8):
+def lsh_bucket_col(qv_col, n_planes: int = 8, plane_offset: int = 0):
     """Deterministic random-hyperplane bucket id: plane p has weight
     s_ip = +1 if ((i*A1 + p*A2) >> 7) % 2 == 0 else -1 on dim i; bit p of
-    the bucket = (sum_i s_ip * qv_i) >= 0. Pure JVM higher-order exprs."""
+    the bucket = (sum_i s_ip * qv_i) >= 0. Pure JVM higher-order exprs.
+    ``plane_offset`` selects an independent plane family (hash tables)."""
     def _signed_fn(p: int):
         def fn(x, i):
             plane = F.floor((i.cast("long") * F.lit(A1) + F.lit(p) * F.lit(A2)) / F.lit(128)) % 2 == 0
@@ -60,24 +61,63 @@ def lsh_bucket_col(qv_col: str, n_planes: int = 8):
 
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        signed = F.transform(qv_col, _signed_fn(p))
+        signed = F.transform(qv_col, _signed_fn(p + plane_offset))
         tot = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
         bucket = bucket + F.when(tot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 
 def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int = 6) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucket equi-join + exact integer
-    re-rank, multi-probe (own bucket + all Hamming-1 neighbors — vectors
-    near a hyperplane land on either side, probing flipped bits recovers
-    them). Output shape == topk_dot (rn may be < k if buckets are small).
-    At 100TB the bucketed join replaces topk_dot's full scan; recall is
-    pytest-checked against the exact baseline."""
-    q = quantized_embeddings(emb).withColumn("bucket", lsh_bucket_col("qv", n_planes))
-    probes = F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+    """Approximate top-k MIPS: asymmetric norm augmentation + hyperplane
+    LSH buckets + exact integer re-rank.
+
+    Three standard recall mechanisms compose (each one dials recall vs
+    candidates scanned):
+      1. ASYMMETRIC norm augmentation (Shrivastava & Li): hyperplane LSH
+         hashes by angle but topk_dot ranks by raw inner product — append
+         sqrt(max_norm^2 - ||x||^2) to every DATA vector and 0 to every
+         QUERY, so angular similarity in the augmented space IS
+         inner-product order (a no-op for pre-normalized corpora);
+      2. MULTI-PROBE: each query probes its own bucket plus all Hamming-1
+         and Hamming-2 flips (vectors near a hyperplane land on either
+         side; probe rows live on the tiny broadcast side, so deeper
+         probing costs nothing on the corpus);
+      3. MULTIPLE TABLES: n_tables independent plane families; a true
+         neighbor is found if ANY table collides — recall
+         1-(1-r)^L. The data side explodes over tables map-side (queries
+         are the broadcast side; nothing reshuffles the corpus).
+    The re-rank uses the ORIGINAL vectors' exact integer dot. Output shape
+    == topk_dot (rn may be < k if buckets are small). At 100TB the
+    bucketed join replaces topk_dot's full scan; recall is pytest-checked
+    AND logged per bench run (ann_recall_at_10)."""
+    n_tables = 8
+    base = quantized_embeddings(emb)
+    m2 = base.agg(F.max("norm2")).collect()[0][0] or 0
+    aug = F.concat(
+        "qv", F.array(F.floor(F.sqrt(F.lit(float(m2)) - F.col("norm2").cast("double"))).cast("long"))
+    )
+    zero_aug = F.concat("qv", F.array(F.lit(0).cast("long")))
+    # (table, bucket) packed into one long key: t << n_planes | bucket
+    dkeys = F.array(
+        *[
+            lsh_bucket_col(aug, n_planes, plane_offset=t * n_planes) + F.lit(t << n_planes)
+            for t in range(n_tables)
+        ]
+    )
+    q = base.select("vec_id", "qv", F.explode(dkeys).alias("bucket"))
+    qkeys = []
+    for t in range(n_tables):
+        b = lsh_bucket_col(zero_aug, n_planes, plane_offset=t * n_planes) + F.lit(t << n_planes)
+        qkeys.append(b)
+        qkeys.extend(b.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes))
+        qkeys.extend(
+            b.bitwiseXOR(F.lit((1 << p) | (1 << p2)))
+            for p in range(n_planes)
+            for p2 in range(p + 1, n_planes)
+        )
     queries = (
-        q.where(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qq"), F.explode(probes).alias("bucket"))
+        base.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qq"), F.explode(F.array(*qkeys)).alias("bucket"))
     )
     cand = (
         q.join(F.broadcast(queries), "bucket")

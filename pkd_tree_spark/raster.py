@@ -56,17 +56,29 @@ def vector_to_raster(
     int vertices), emit the level-``level`` cells whose CENTER (doubled
     coordinates, exact ints) lies inside. Output (qid, g0, g1).
 
-    Plan: the full cell grid (a range cross-join — data-independent) x
-    broadcast polygons with the half-plane predicate on doubled centers:
-    2*center = 2*g*w + w - 1 avoids fractional centers."""
+    Plan: candidate cells come from EACH POLYGON'S BBOX grid span —
+    F.sequence over [floor(min_x/w), floor(max_x/w)] per axis, exploded —
+    then the half-plane predicate on doubled centers (2*center =
+    2*g*w + w - 1 avoids fractional centers). Work is O(sum of bbox cells),
+    independent of the grid resolution: round 2 cross-joined the FULL
+    2^level x 2^level grid against every polygon, which scans 10^7-10^12
+    rows per burn at realistic raster levels regardless of polygon size."""
     assert cfg.dims == 2
     w = cfg.width_at(level)
     n = 1 << level
-    grid = (
-        spark.range(n).select(F.col("id").alias("g0"))
-        .crossJoin(spark.range(n).select(F.col("id").alias("g1")))
+    qdf = spark.createDataFrame(polys[["qid", "vx", "vy"]]).repartition(
+        min(cfg.partitions, max(1, len(polys)))
     )
-    qdf = F.broadcast(spark.createDataFrame(polys[["qid", "vx", "vy"]]))
+    cand = (
+        qdf.withColumn("g0", F.explode(F.sequence(
+            F.greatest(F.lit(0), (F.array_min("vx") / w).cast("long")),
+            F.least(F.lit(n - 1), (F.array_max("vx") / w).cast("long")),
+        )))
+        .withColumn("g1", F.explode(F.sequence(
+            F.greatest(F.lit(0), (F.array_min("vy") / w).cast("long")),
+            F.least(F.lit(n - 1), (F.array_max("vy") / w).cast("long")),
+        )))
+    )
     cx2 = (F.col("g0") * w) * 2 + (w - 1)  # doubled center coords (exact int)
     cy2 = (F.col("g1") * w) * 2 + (w - 1)
     nv = F.size("vx")
@@ -80,7 +92,7 @@ def vector_to_raster(
         return (ex * py - ey * px) >= 0
 
     inside = F.forall(F.sequence(F.lit(0), nv - 1), edge_ok)
-    return grid.crossJoin(qdf).where(inside).select("qid", "g0", "g1")
+    return cand.where(inside).select("qid", "g0", "g1")
 
 
 def tile_assignments(index: SpatialIndex, level: int) -> DataFrame:

@@ -277,6 +277,85 @@ class PersistentIndex:
             pts, meta = pts.persist(), meta.persist()
         return SpatialIndex(points=pts, meta=meta, cfg=self.cfg)
 
+    def retile_hot(
+        self,
+        spark: SparkSession,
+        ckpt: Checkpoint | None = None,
+        file_target_rows: int = 1_000_000,
+    ) -> dict:
+        """M3/U3 TARGETED analog: rewrite ONLY imbalanced buckets.
+
+        The reference rebuilds just the subtree that trips the
+        weight-balance test (inner_tree.hpp:78-95, tree_node.hpp:126-131);
+        round 2's retile() rewrote the whole table. Here a bucket is hot
+        when its row count exceeds (n/buckets) * (1 + imbalance_ratio/10)
+        (the M1 criterion at bucket granularity); each hot bucket is
+        re-sorted and SPLIT into ceil(rows/file_target_rows) morton-range
+        files — one Morton level deeper in effect — via dynamic partition
+        overwrite of that bucket alone. Cold buckets' files are untouched
+        (verified by the pytest on file mtimes). Exact per-cell bounds for
+        the hot buckets' cells are recomputed into the meta parquet
+        (deletes leave conservative bounds; the compaction tightens them).
+        One lineage marker per hot bucket -> a killed retile resumes
+        bucket-wise. Returns {buckets_total, buckets_hot, rows_rewritten}.
+        """
+        cfg = self.cfg
+        d = cfg.dims
+        ckpt = ckpt or Checkpoint(os.path.join(self.path, "_lineage_retile"))
+        pts = spark.read.parquet(self.points_path)
+        per_bucket = {
+            int(r["pbucket"]): int(r["rows"])
+            for r in pts.groupBy("pbucket").agg(F.count(F.lit(1)).alias("rows")).collect()
+        }
+        n = sum(per_bucket.values())
+        buckets_total = max(1, 1 << (d * self.bucket_level))
+        threshold = (n / buckets_total) * (1 + cfg.imbalance_ratio / 10.0)
+        hot = sorted(b for b, rows in per_bucket.items() if rows > threshold)
+        rows_rewritten = 0
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for b in hot:
+                nfiles = max(2, -(-per_bucket[b] // file_target_rows))
+
+                def _rewrite(b=b, nfiles=nfiles):
+                    part = (
+                        pts.where(F.col("pbucket") == b)
+                        .localCheckpoint(eager=True)  # snapshot before overwrite
+                        .repartitionByRange(nfiles, "morton")
+                        .sortWithinPartitions("morton")
+                    )
+                    part.write.mode("overwrite").partitionBy("pbucket").parquet(self.points_path)
+                    return {"bucket": int(b), "files": nfiles}
+
+                ckpt.run(f"retile_bucket_{b}", _rewrite)
+                rows_rewritten += per_bucket[b]
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+        if hot:
+            def _refresh_meta():
+                # targeted: recompute meta rows ONLY for hot buckets' cells,
+                # keep the rest — O(points in hot buckets), not O(n)
+                shift = d * (cfg.index_level - self.bucket_level)
+                fresh_pts = spark.read.parquet(self.points_path).where(
+                    F.col("pbucket").isin([int(b) for b in hot])
+                )
+                fresh = _meta_of(fresh_pts.drop("pbucket"), cfg)
+                old = spark.read.parquet(self.meta_path).where(
+                    ~F.shiftrightunsigned("cell", shift).isin([int(b) for b in hot])
+                )
+                merged = old.unionByName(fresh).localCheckpoint(eager=True)
+                merged.write.mode("overwrite").parquet(self.meta_path)
+                return {"cells": merged.count()}
+
+            ckpt.run("refresh_meta_hot", _refresh_meta)
+        return {
+            "buckets_total": buckets_total,
+            "buckets_hot": len(hot),
+            "rows_rewritten": rows_rewritten,
+        }
+
     def merge_insert_cow(self, spark: SparkSession, new_points: DataFrame, ckpt: Checkpoint | None = None) -> None:
         """Copy-on-write insert: rewrite only the buckets the batch touches
         (dynamic partition overwrite — the Iceberg MERGE copy-on-write

@@ -127,7 +127,9 @@ def test_ann_lsh_recall(emb, emb_q):
         e = set(exact[exact.qid == qid].vec_id)
         a = set(approx[approx.qid == qid].vec_id)
         recalls.append(len(e & a) / len(e))
-    assert np.mean(recalls) > 0.2  # 6 planes / 64 buckets on random data
+    # 8 tables x 6 planes, Hamming-2 multiprobe: 0.938 measured at sf0.001
+    # (0.96 at sf0.1, logged per bench run as ann_recall_at_10)
+    assert np.mean(recalls) >= 0.85
 
 
 def test_embedding_dup_pairs_exact(emb, emb_q):
