@@ -81,13 +81,18 @@ def run_suite() -> dict:
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         # stream the many-split range side, broadcast the small key list, so
         # replica generation is parallel (the parquet is a single split)
+        # replica key stride: 2e7 up to 64 replicas (clear of the gate's
+        # insert-batch range 1e7..1.6e7 — irrelevant here, kept for r1/r2
+        # comparability); 1e7 beyond, so k*A1 stays < 2^63 at replicate=256
+        # (153.6M pts): 2e7*256*2.65e9 would overflow int64 and wrap
+        # coordinates negative. sf0.1 base keys are < 6.1e6, so replicas
+        # never collide at either stride.
+        stride = 20_000_000 if REPLICATE <= 64 else 10_000_000
         keys_df = (
             spark.range(0, REPLICATE, 1, CPUS)
             .select(F.col("id").alias("rep"))
             .crossJoin(F.broadcast(li.select(doc_key_col().alias("k"))))
-            # offset 2e7 keeps k*A5 < 2^63 up to ~64 replicas and clear of
-            # the insert-batch key range (1e7..~1.6e7)
-            .select((F.col("k") + F.col("rep") * F.lit(20_000_000)).alias("k"))
+            .select((F.col("k") + F.col("rep") * F.lit(stride)).alias("k"))
         )
 
     idx = {}
@@ -313,7 +318,8 @@ def run_scaling(base: int | None = None, mult: int = 4) -> dict:
         "n_points": results[base]["n_points"],
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/SCALING.json", "w") as f:
+    out = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH/SCALING.json")
+    with open(out, "w") as f:
         json.dump(rep, f, indent=2)
     return rep
 
