@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_range_report_ball_varden": _q_report_ball("varden"),
         "spatial_incremental_build_cells": _q_incremental_build("uniform"),
         "spatial_range_count_polygon_uniform": _q_count_polygon("uniform"),
+        "spatial_range_count_polygon_varden": _q_count_polygon("varden"),
         "spatial_knn_uniform": _q_knn("uniform"),
         "spatial_knn_varden": _q_knn("varden"),
         "spatial_knn_after_update": _q_knn("uniform", state="updated"),
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_range_report_ball_varden": OR.range_report_ball_sql(16, D, "varden"),
         "spatial_incremental_build_cells": OR.cells_sql(CELL_LEVEL, D, "uniform"),
         "spatial_range_count_polygon_uniform": OR.range_count_diamond_sql(NQ_POLY, "uniform"),
+        "spatial_range_count_polygon_varden": OR.range_count_diamond_sql(NQ_POLY, "varden"),
         "spatial_knn_uniform": OR.knn_sql(NQ_KNN, KNN_K, D, "uniform"),
         "spatial_knn_varden": OR.knn_sql(NQ_KNN, KNN_K, D, "varden"),
         "spatial_knn_after_update": OR.knn_sql(NQ_KNN, KNN_K, D, "uniform", state="updated"),

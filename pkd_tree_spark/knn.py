@@ -274,6 +274,7 @@ def knn(
     adaptive: bool = True,
     target_candidates: int = 256,
     return_stats: bool = False,
+    reliable_checkpoints: bool = False,
 ):
     """Exact batch kNN. queries: pandas OR Spark DataFrame (qid, q0..q{d-1})
     int64 — the DataFrame path is the scale path (queries never touch the
@@ -285,6 +286,13 @@ def knn(
     With return_stats=True returns (result, stats) where stats is a
     per-query (qid, rounds, cand_rows) DataFrame (V3 introspection;
     cand_rows is cumulative across rounds).
+
+    Round frames are localCheckpoint'ed by default (fast; blocks release
+    when the result is GC'd). localCheckpoint is NOT fault-tolerant: on a
+    real cluster an executor loss mid-batch fails the job. For long
+    multi-round batches set reliable_checkpoints=True with
+    spark.sparkContext.setCheckpointDir(...) — round frames then persist
+    to reliable storage (falls back to localCheckpoint if no dir is set).
     """
     spark = index.points.sparkSession
     cfg: EngineConfig = index.cfg
@@ -308,12 +316,16 @@ def knn(
     else:
         qdf = qdf.withColumn("level", F.lit(level).cast("int"))
 
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoints and spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     empty_tk = F.expr(f"CAST(array() AS {_ENTRY_ARR})")
-    pend = (
+    pend = _ckpt(
         qdf.withColumn("r", F.lit(1).cast("long"))
         .withColumn("tk", empty_tk)
         .withColumn("cnt", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
     )
     row = pend.agg(
         F.count(F.lit(1)).alias("n"), F.sum(_exh_cond(d).cast("long")).alias("ne")
@@ -463,8 +475,8 @@ def knn(
                 | (F.col("_covered") & (F.col("cnt_m") > 0)),
             )
             .withColumn("_drop", F.col("_covered") & (F.col("cnt_m") == 0))
-            .localCheckpoint(eager=True)
         )
+        j = _ckpt(j)
 
         res_round = j.where("_done").select(
             "qid", F.col("tk_m").alias("tk"), F.lit(rnd).cast("int").alias("rounds"),
