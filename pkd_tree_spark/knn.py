@@ -86,7 +86,13 @@ MESH_CAP_LOG2 = 18.0
 RESULT_SCHEMA = "qid long, rn long, key long, doc_id string, span_idx long, dist2 long"
 STATS_SCHEMA = "qid long, rounds int, cand_rows long"
 
-_ENTRY_ARR = "array<struct<dist2:bigint,key:bigint,span_idx:bigint,doc_id:string>>"
+# top-k entries are THREE LONGS — no doc_id string: (key, span_idx) is the
+# unique PointID, so (dist2, key, span_idx) is the same total order the
+# reference's bounded queue uses, and ~10^8 candidate entries per round
+# carry 24 bytes instead of a heap string each (the string made the agg
+# allocation-bound at 38.4M pts: 300M candidate structs -> GC, not compute).
+# doc_id is joined back onto the final nq*k result rows only.
+_ENTRY_ARR = "array<struct<dist2:bigint,key:bigint,span_idx:bigint>>"
 
 
 def auto_knn_level(n: int, d: int, target_per_cell: int = 128, grid_bits: int = 20) -> int:
@@ -272,7 +278,7 @@ def knn(
     level: int | None = None,
     max_rounds: int = 64,
     adaptive: bool = True,
-    target_candidates: int = 256,
+    target_candidates: int = 64,
     return_stats: bool = False,
     reliable_checkpoints: bool = False,
 ):
@@ -340,8 +346,10 @@ def knn(
         dist2.cast("long").alias("dist2"),
         F.col("key"),
         F.col("span_idx").cast("long").alias("span_idx"),
-        F.col("doc_id"),
     )
+    # narrow candidate source: the join/top-k hot path never touches doc_id
+    xcols = [f"x{j}" for j in range(d)]
+    pts_narrow = index.points.select("key", "span_idx", *xcols, "morton")
 
     def _gen_cells(batches):
         for pdf in batches:
@@ -375,20 +383,20 @@ def knn(
             if levels:
                 # points side exploded ONCE over the levels present this
                 # round (usually 1-3): one scan, one join — not a union of
-                # per-level branch joins (round 2's exchange pile-up)
-                lvl_cells = F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(lvl).cast("int").alias("lvl"),
-                                F.shiftrightunsigned("morton", d * (kb - lvl)).alias("pc"),
-                            )
-                            for lvl in levels
-                        ]
-                    )
-                ).alias("s")
-                p = index.points.select("*", lvl_cells).select(
-                    *index.points.columns, F.col("s.lvl").alias("plvl"), F.col("s.pc").alias("pcell")
+                # per-level branch joins (round 2's exchange pile-up). The
+                # exploded array is a FOLDABLE int literal (hoisted by
+                # codegen); the cell comes from column arithmetic after the
+                # explode — an array-of-structs here allocates per ROW
+                # (38.4M allocs x levels), which measured as the round's
+                # GC-bound floor at 38.4M pts.
+                p = pts_narrow.select(
+                    "*",
+                    F.explode(
+                        F.array(*[F.lit(int(lvl)).cast("int") for lvl in levels])
+                    ).alias("plvl"),
+                ).withColumn(
+                    "pcell",
+                    F.expr(f"shiftrightunsigned(morton, CAST({d} * ({kb} - plvl) AS INT))"),
                 )
                 cl = cells.select("qid", F.col("level").alias("clvl"), "cell")
                 if sum(lvl_counts.values()) <= cells_bcast_rows:
@@ -419,7 +427,7 @@ def knn(
                 cheb = t if cheb is None else F.greatest(cheb, t)
             r_prev = F.when(F.col("r") == 1, F.lit(-1)).otherwise(F.col("r") / 2).cast("long")
             exh_cand = (
-                index.points.crossJoin(exh_pend)
+                pts_narrow.crossJoin(exh_pend)
                 .where(cheb > r_prev)
                 .withColumn("pcell", F.expr(f"shiftrightunsigned(morton, CAST({d} * ({kb} - level) AS INT))"))
                 .drop("level", "r")
@@ -503,13 +511,25 @@ def knn(
     allres = result_parts[0]
     for p in result_parts[1:]:
         allres = allres.unionByName(p)
-    out = allres.select("qid", F.posexplode("tk").alias("pos", "s")).select(
-        "qid",
-        (F.col("pos") + 1).cast("long").alias("rn"),
-        F.col("s.key").alias("key"),
-        F.col("s.doc_id").alias("doc_id"),
-        F.col("s.span_idx").cast("long").alias("span_idx"),
-        F.col("s.dist2").alias("dist2"),
+    # doc_id re-attach: key -> doc_id is FUNCTIONAL by construction (the
+    # loader derives key from doc_id, documents.py:162; update batches
+    # shift unique keys, preserving the dependence), but (key, span_idx)
+    # is NOT a unique row id — fixtures carry duplicate spans — so the
+    # join is on key against the DISTINCT (key, doc_id) projection.
+    # shuffle_hash hint on the small result side: no big-side sort.
+    ids = index.points.select("key", "doc_id").dropDuplicates(["key"])
+    out = (
+        allres.select("qid", F.posexplode("tk").alias("pos", "s"))
+        .select(
+            "qid",
+            (F.col("pos") + 1).cast("long").alias("rn"),
+            F.col("s.key").alias("key"),
+            F.col("s.span_idx").cast("long").alias("span_idx"),
+            F.col("s.dist2").alias("dist2"),
+        )
+        .hint("shuffle_hash")
+        .join(ids, "key")
+        .select("qid", "rn", "key", "doc_id", "span_idx", "dist2")
     )
     if return_stats:
         stats = stats_parts[0]

@@ -194,25 +194,19 @@ def _polygon_pred() -> Column:
 # core two-branch plan
 # ---------------------------------------------------------------------------
 
-def _lvl_cell_explode(src_col: str, levels: list[int], d: int, top_bits_level: int):
-    """Generator column: (lvl, c) pairs of ``src_col``'s ancestor cell at
-    each cover level — ONE explode instead of one scan per level.
-    ``top_bits_level`` is the level src_col itself is encoded at."""
-    return F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(int(lvl)).cast("int").alias("lvl"),
-                    (
-                        F.shiftrightunsigned(src_col, d * (top_bits_level - int(lvl)))
-                        if int(lvl) < top_bits_level
-                        else F.col(src_col)
-                    ).alias("c"),
-                )
-                for lvl in levels
-            ]
-        )
-    ).alias("s")
+def _with_lvl_cell(df: DataFrame, src_col: str, levels: list[int], d: int, top_bits_level: int) -> DataFrame:
+    """Append (lvl, c): ``src_col``'s ancestor cell at each cover level —
+    ONE explode instead of one scan per level. The exploded array is a
+    FOLDABLE int literal (codegen hoists it); the cell is column arithmetic
+    AFTER the explode. An array-of-structs explode here allocates a fresh
+    array per ROW — measured as a GC-bound floor (and negative 4->16-core
+    scaling) on the 38.4M-point boundary join. ``top_bits_level`` is the
+    level src_col itself is encoded at."""
+    return df.select(
+        "*", F.explode(F.array(*[F.lit(int(l)).cast("int") for l in levels])).alias("lvl")
+    ).withColumn(
+        "c", F.expr(f"shiftrightunsigned({src_col}, CAST({d} * ({int(top_bits_level)} - lvl) AS INT))")
+    )
 
 
 def _interior_counts(index: SpatialIndex, covers) -> DataFrame | None:
@@ -231,31 +225,33 @@ def _interior_counts(index: SpatialIndex, covers) -> DataFrame | None:
     if cdf is None:
         return None
     levels = _cover_levels(covers)
-    m = index.meta.select(_lvl_cell_explode("cell", levels, d, L), "cnt").select(
-        F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c"), "cnt"
-    )
+    m = _with_lvl_cell(index.meta.select("cell", "cnt"), "cell", levels, d, L).select("lvl", "c", "cnt")
     if not isinstance(covers, pd.DataFrame):
         m = F.broadcast(m)  # meta is ~n/leaf_target rows; covers may be huge
     return m.join(cdf, ["lvl", "c"]).groupBy("qid").agg(F.sum("cnt").alias("cnt"))
 
 
-def _boundary_candidates(index: SpatialIndex, covers, interior_too: bool = False) -> DataFrame | None:
+def _boundary_candidates(
+    index: SpatialIndex, covers, interior_too: bool = False, cols: list[str] | None = None
+) -> DataFrame | None:
     """Point rows inside cover cells, tagged with qid — ONE equi-join on
     (lvl, cell) with the points side exploded once over the distinct cover
     levels (single scan; with broadcast covers the explode+join pipelines
     inside one codegen stage and non-matching rows never materialize).
-    Broadcast for small cover sets, shuffle join for DataFrame covers."""
+    Broadcast for small cover sets, shuffle join for DataFrame covers.
+
+    ``cols`` narrows the point columns carried through the hot join —
+    counts pass the coordinate columns only (no doc_id strings through a
+    ~10^8-row generate)."""
     spark = index.points.sparkSession
     d, gb = index.cfg.dims, index.cfg.grid_bits
     cdf = _cover_slice(spark, covers, interior=None if interior_too else False)
     if cdf is None:
         return None
     levels = _cover_levels(covers)
-    base = index.points.columns
-    pts = index.points.select("*", _lvl_cell_explode("morton", levels, d, gb)).select(
-        *base, F.col("s.lvl").alias("lvl"), F.col("s.c").alias("c")
-    )
-    return pts.join(cdf, ["lvl", "c"]).drop("lvl", "c")
+    base = list(cols) if cols is not None else [c for c in index.points.columns if c != "morton"]
+    pts = _with_lvl_cell(index.points.select(*base, "morton"), "morton", levels, d, gb)
+    return pts.join(cdf, ["lvl", "c"]).drop("lvl", "c", "morton")
 
 
 def _finalize_counts(queries_df: DataFrame, branches: list[DataFrame | None], small: bool) -> DataFrame:
@@ -277,7 +273,9 @@ def _finalize_counts(queries_df: DataFrame, branches: list[DataFrame | None], sm
 
 def _count_plan(index: SpatialIndex, queries_df: DataFrame, covers, exact_pred: Column, small: bool = True) -> DataFrame:
     interior = _interior_counts(index, covers)
-    cand = _boundary_candidates(index, covers)
+    cand = _boundary_candidates(
+        index, covers, cols=[f"x{j}" for j in range(index.cfg.dims)]
+    )
     boundary = None
     if cand is not None:
         q = F.broadcast(queries_df) if small else queries_df
