@@ -125,6 +125,10 @@ def test_dedup_no_persist_leak(spark):
     deadline = time.time() + 20
     while time.time() > 0:
         gc.collect()
+        # collectability needs a JVM GC: ContextCleaner releases checkpoint
+        # blocks via weak refs, and an idle heap may not GC within the
+        # deadline on its own — System.gc() makes the check deterministic
+        spark._jvm.System.gc()
         if len(sc._jsc.getPersistentRDDs()) <= base:
             break
         if time.time() > deadline:
