@@ -151,8 +151,13 @@ def _assign_levels(
     # metadata rollup — min rung whose home-cell estimate fits the target;
     # the (dense-cells-only) histogram broadcasts, queries never shuffle
     # against the points.
+    # EVEN rungs only: the round's probe pass costs n x DISTINCT-LEVELS
+    # (measured at 38.4M varden: 25.3s over 6 levels vs 14.4s over 3,
+    # while the candidate join + full top-k agg add ~nothing), so level
+    # granularity is the wrong place to spend a 2x probe multiplier —
+    # a one-coarser level only grows the (nearly free) candidate set.
     hist, levels = index.density_ladder(target=target)
-    rungs = [lvl for lvl in levels if level_floor <= lvl <= level_cap]
+    rungs = [lvl for lvl in levels if level_floor <= lvl <= level_cap and lvl % 2 == 0]
     out = qdf
     if rungs:
         homes = F.explode(
@@ -204,9 +209,15 @@ def _assign_levels(
         F.lit(0),
     )
     lvl_gap = F.lit(cb) - F.ceil(F.log2(F.greatest(gap.cast("double"), F.lit(1.0))))
-    lvl_deep = F.least(
+    lvl_deep_raw = F.least(
         F.greatest(F.least(lvl_dens, lvl_gap), F.lit(level_floor)), F.lit(level_cap)
     ).cast("int")
+    # snap DOWN to the even lattice (coarser: candidates grow <=4x at d=2,
+    # cheap per the probe-vs-agg measurement; deeper would risk empty
+    # neighborhoods and extra rounds)
+    lvl_deep = F.greatest(
+        (lvl_deep_raw - lvl_deep_raw % 2).cast("int"), F.lit(level_floor).cast("int")
+    )
     fallback = F.coalesce(lvl_deep, F.lit(max(level_floor, min(level_cap, L))))
     return out.select(
         *qdf.columns, F.coalesce(F.col("_lv"), fallback).cast("int").alias("level")
