@@ -86,7 +86,14 @@ def run_suite() -> dict:
         # comparability); 1e7 beyond, so k*A1 stays < 2^63 at replicate=256
         # (153.6M pts): 2e7*256*2.65e9 would overflow int64 and wrap
         # coordinates negative. sf0.1 base keys are < 6.1e6, so replicas
-        # never collide at either stride.
+        # never collide at either stride. The insert-batch key offsets below
+        # (3e9/3.2e9) sit past the largest replica key (255*1e7 + 6.1e6 ≈
+        # 2.56e9), so inserted keys never collide with replica keys at ANY
+        # replicate (the old 5e7/6e7 offsets were multiples of the 1e7
+        # stride: inserts collided with the rep+5/rep+6 replicas, creating
+        # duplicate keys and making delete-by-key remove ~2x the batch).
+        # Inserted keys never pass coordinate derivation (the batch keeps
+        # its x-columns), so k*A1 overflow does not apply to them.
         stride = 20_000_000 if REPLICATE <= 64 else 10_000_000
         keys_df = (
             spark.range(0, REPLICATE, 1, CPUS)
@@ -177,7 +184,7 @@ def run_suite() -> dict:
     ix = idx["uniform"]
     batch = (
         ix.points.where(F.col("key") % 100 == 7)
-        .select("doc_id", "span_idx", (F.col("key") + 50_000_000).alias("key"), "x0", "x1")
+        .select("doc_id", "span_idx", (F.col("key") + 3_000_000_000).alias("key"), "x0", "x1")
     ).persist()
     bn = batch.count()
     # materialization (count) happens INSIDE timed(): merge_insert only
@@ -195,7 +202,7 @@ def run_suite() -> dict:
     # large-batch path must not broadcast the delete-key set
     batch10 = (
         ix.points.where(F.col("key") % 10 == 7)
-        .select("doc_id", "span_idx", (F.col("key") + 60_000_000).alias("key"), "x0", "x1")
+        .select("doc_id", "span_idx", (F.col("key") + 3_200_000_000).alias("key"), "x0", "x1")
     ).persist()
     bn10 = batch10.count()
 
@@ -234,7 +241,10 @@ def run_suite() -> dict:
     # ann_lsh recall vs the exact MIPS baseline (approximate operator: the
     # gate checks rows only, so a recall regression must surface HERE)
     ann_recall = None
-    try:
+    if os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+        # a real ann_lsh/topk_dot failure must propagate — a bare except here
+        # once reported recall=null instead of surfacing regressions; only
+        # the missing-table case (checked above) is a legitimate skip
         from pkd_tree_spark.pipeline.similarity import ann_lsh, topk_dot
 
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -245,8 +255,6 @@ def run_suite() -> dict:
 
         approx = timed("ann_lsh", _ann)
         ann_recall = round(len(exact & approx) / max(1, len(exact)), 4)
-    except Exception:  # noqa: BLE001 — embeddings table may be absent at some SFs
-        pass
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -316,6 +324,19 @@ def run_scaling(base: int | None = None, mult: int = 4) -> dict:
         "scaling_efficiency": eff,
         "sf": results[base]["sf"],
         "n_points": results[base]["n_points"],
+        # V3 introspection at scale (ring rounds / candidate rows / cover
+        # cells / ann recall) — the at-scale runs are exactly where these
+        # diagnose efficiency, not just sf0.1
+        "stats_base": {
+            "knn_stats": results[base].get("knn_stats"),
+            "range_stats": results[base].get("range_stats"),
+            "ann_recall_at_10": results[base].get("ann_recall_at_10"),
+        },
+        "stats_big": {
+            "knn_stats": results[base * mult].get("knn_stats"),
+            "range_stats": results[base * mult].get("range_stats"),
+            "ann_recall_at_10": results[base * mult].get("ann_recall_at_10"),
+        },
     }
     os.makedirs("BENCH", exist_ok=True)
     out = os.environ.get("SPARK_GRAFT_SCALING_OUT", "BENCH/SCALING.json")

@@ -27,13 +27,20 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .config import EngineConfig, DEFAULT_CONFIG
 from .zorder import morton_col, morton_decode_np, cell_col
 
-__all__ = ["SpatialIndex", "cover_regions"]
+__all__ = ["SpatialIndex", "cover_regions", "morton_interval_pred"]
+
+# meta tables up to this many cells are collected to the driver once per
+# index generation and reused by every query batch (leaf resolution,
+# interior prefix-sums, scan-interval pruning). A level-7 d=2 meta is
+# <= 16384 rows; 300k rows x (2+2d) longs ~ 15MB — still trivially
+# driver-resident. Larger metas fall back to Spark-side resolution joins.
+META_MEMO_CELLS = 300_000
 
 
 @dataclass
@@ -50,6 +57,49 @@ class SpatialIndex:
     meta: DataFrame
     cfg: EngineConfig
     _ladder: tuple[DataFrame, list[int]] | None = None
+    _meta_np: dict | None = None
+
+    def meta_np(self) -> dict | None:
+        """Driver-side snapshot of the (small) metadata table, memoized per
+        index generation: {"cells": sorted int64 cell ids, "cum": length
+        m+1 count prefix sums, "mn"/"mx": (m, d) per-cell occupied bounds}.
+
+        This is the distributed analog of the reference keeping its top
+        skeleton in shared memory (build_tree.hpp:19-45): every query batch
+        resolves its covers/shells against the skeleton WITHOUT a Spark
+        job, so the points table is touched by exactly one equi-join per
+        batch. Returns None (and memoizes the refusal) when the meta
+        exceeds META_MEMO_CELLS — callers then use Spark-side resolution.
+        """
+        if self._meta_np is not None:
+            return self._meta_np if self._meta_np.get("cells") is not None else None
+        d = self.cfg.dims
+        n_cells = self.meta.count()
+        if n_cells > META_MEMO_CELLS:
+            object.__setattr__(self, "_meta_np", {"cells": None})
+            return None
+        rows = self.meta.collect()
+        cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+        order = np.argsort(cells)
+        cells = cells[order]
+        cnt = np.array([r["cnt"] for r in rows], dtype=np.int64)[order]
+        mn = np.stack(
+            [np.array([r[f"mn{j}"] for r in rows], dtype=np.int64)[order] for j in range(d)],
+            axis=1,
+        ) if rows else np.zeros((0, d), dtype=np.int64)
+        mx = np.stack(
+            [np.array([r[f"mx{j}"] for r in rows], dtype=np.int64)[order] for j in range(d)],
+            axis=1,
+        ) if rows else np.zeros((0, d), dtype=np.int64)
+        memo = {
+            "cells": cells,
+            "cum": np.concatenate([[0], np.cumsum(cnt)]),
+            "mn": mn,
+            "mx": mx,
+        }
+        # frozen=False dataclass: plain assignment; keep setattr uniform
+        object.__setattr__(self, "_meta_np", memo)
+        return memo
 
     def density_ladder(self, target: int = 256) -> tuple[DataFrame, list[int]]:
         """(hist, levels): a (lvl, c, hcnt) point-count histogram over grid
@@ -153,6 +203,113 @@ class SpatialIndex:
             "bbox_violations": viol,
             "bbox_checked": viol is not None,
         }
+
+
+# ---------------------------------------------------------------------------
+# driver-side leaf resolution (shared by ranges + kNN)
+# ---------------------------------------------------------------------------
+
+def expand_ranges(i0: np.ndarray, i1: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized concatenation of index ranges [i0_k, i1_k): returns
+    (idx, counts) where idx enumerates every range's members in order and
+    counts[k] = i1_k - i0_k (for np.repeat'ing per-range payloads)."""
+    n = (i1 - i0).astype(np.int64)
+    total = int(n.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), n
+    nz = n > 0
+    starts, lens = i0[nz].astype(np.int64), n[nz]
+    steps = np.ones(total, dtype=np.int64)
+    steps[0] = starts[0]
+    pos = np.cumsum(lens)
+    steps[pos[:-1]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(steps), n
+
+
+def resolve_covers_np(meta: dict, sel: pd.DataFrame, d: int, L: int) -> pd.DataFrame:
+    """Resolve cover cells (qid, level<=L, cell, interior) to the OCCUPIED
+    level-L leaf cells beneath them — pure numpy over the memoized meta
+    (cells at a level are contiguous runs of sorted leaf ids: two
+    searchsorteds per level group). Output (qid, leaf, interior) feeds a
+    SINGLE-LEVEL equi-join against the points' leaf column: no points-side
+    explode, and resolution size is bounded by occupancy (<= points under
+    the covers), never by geometric cell counts."""
+    cells_sorted = meta["cells"]
+    frames = []
+    for lvl, grp in sel.groupby("level"):
+        s = d * (L - int(lvl))
+        c = grp["cell"].to_numpy(dtype=np.int64)
+        i0 = np.searchsorted(cells_sorted, c << s)
+        i1 = np.searchsorted(cells_sorted, (c + 1) << s)
+        idx, counts = expand_ranges(i0, i1)
+        if idx.size == 0:
+            continue
+        frames.append(
+            pd.DataFrame(
+                {
+                    "qid": np.repeat(grp["qid"].to_numpy(dtype=np.int64), counts),
+                    "leaf": cells_sorted[idx],
+                    "interior": np.repeat(grp["interior"].to_numpy(dtype=bool), counts),
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {"qid": pd.Series(dtype="int64"), "leaf": pd.Series(dtype="int64"),
+             "interior": pd.Series(dtype="bool")}
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def interior_counts_np(meta: dict, sel: pd.DataFrame, d: int, L: int) -> pd.DataFrame:
+    """Per-qid SUM of metadata counts under fully-contained cover cells —
+    the `within_box -> return T->size` shortcut (range_count.hpp:79-80)
+    evaluated ENTIRELY on the driver from the memoized prefix sums: the
+    interior branch of a range count costs zero Spark jobs."""
+    cells_sorted, cum = meta["cells"], meta["cum"]
+    qids, sums = [], []
+    for lvl, grp in sel.groupby("level"):
+        s = d * (L - int(lvl))
+        c = grp["cell"].to_numpy(dtype=np.int64)
+        i0 = np.searchsorted(cells_sorted, c << s)
+        i1 = np.searchsorted(cells_sorted, (c + 1) << s)
+        qids.append(grp["qid"].to_numpy(dtype=np.int64))
+        sums.append(cum[i1] - cum[i0])
+    if not qids:
+        return pd.DataFrame({"qid": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")})
+    out = pd.DataFrame({"qid": np.concatenate(qids), "cnt": np.concatenate(sums)})
+    out = out.groupby("qid", as_index=False)["cnt"].sum()
+    return out[out["cnt"] > 0].astype({"qid": "int64", "cnt": "int64"})
+
+
+def morton_interval_pred(
+    leaves: np.ndarray, shift: int, max_intervals: int = 64
+) -> Column | None:
+    """OR-of-BETWEEN predicate on ``morton`` covering the given (sorted,
+    distinct) level-L leaf cells — each leaf is one contiguous Morton
+    interval [leaf<<shift, (leaf+1)<<shift); adjacent leaves merge, and the
+    interval count is capped by greedily keeping only the widest gaps
+    (merging across a gap only widens coverage: always a superset, so the
+    predicate is safe as a pre-filter). Against the range-partitioned,
+    morton-sorted cached points this prunes whole cached batches via
+    min/max stats — the distributed analog of the kd-tree descending only
+    into subtrees that intersect the query."""
+    if leaves.size == 0:
+        return None
+    leaves = np.unique(leaves)
+    brk = np.nonzero(np.diff(leaves) > 1)[0]
+    starts = np.concatenate([[leaves[0]], leaves[brk + 1]])
+    ends = np.concatenate([leaves[brk], [leaves[-1]]])
+    if starts.size > max_intervals:
+        gaps = starts[1:] - ends[:-1]  # keep the max_intervals-1 widest gaps
+        keep = np.sort(np.argsort(gaps)[-(max_intervals - 1):])
+        starts = np.concatenate([[starts[0]], starts[keep + 1]])
+        ends = np.concatenate([ends[keep], [ends[-1]]])
+    pred = None
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        p = F.col("morton").between(int(s) << shift, ((int(e) + 1) << shift) - 1)
+        pred = p if pred is None else pred | p
+    return pred
 
 
 class _Region:

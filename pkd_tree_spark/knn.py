@@ -69,7 +69,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .config import EngineConfig
-from .index import SpatialIndex
+from .index import SpatialIndex, morton_interval_pred
 from .zorder import morton_encode_np
 
 __all__ = ["auto_knn_level", "knn", "knn_join"]
@@ -82,6 +82,11 @@ HIST_SAMPLE_ROWS = 2_000_000
 # a round whose offset mesh (2r+1)^d exceeds this switches to an exhaustive
 # filtered scan (see module docstring); 2^18 cells * 8B = 2MB per query mesh
 MESH_CAP_LOG2 = 18.0
+# rounds >= 2 with at most this many resolved shell cells collect the
+# distinct leaf ancestors to the driver and pre-filter the points scan by
+# their Morton intervals (straggler rounds then skip ~the whole table via
+# cached-batch min/max pruning instead of re-scanning all n rows)
+LEAF_COLLECT_CAP = 50_000
 
 RESULT_SCHEMA = "qid long, rn long, key long, doc_id string, span_idx long, dist2 long"
 STATS_SCHEMA = "qid long, rounds int, cand_rows long"
@@ -232,12 +237,36 @@ def _home_cell_expr(d: int, cb: int, lvl: int):
     return morton_col(gcols, d, lvl)
 
 
-def _candidate_cells(qpd: pd.DataFrame, d: int, coord_bits: int) -> pd.DataFrame:
-    """(qid, level, cell) for the cells in each query's Chebyshev SHELL
-    (r_prev, r] at its grid ``level`` (r_prev = r//2; round 1 includes the
-    home cell). Vectorized per (level, r) group; out-of-grid cells are
-    DROPPED (no points live there), so shells never collide across rounds
-    and the carried top-k merge stays multiset-exact."""
+def _empty_cells_pdf() -> pd.DataFrame:
+    return pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                         "lvl": pd.Series(dtype="int32"),
+                         "cell": pd.Series(dtype="int64")})
+
+
+def _resolved_cells(
+    qpd: pd.DataFrame, d: int, coord_bits: int, L: int, meta: dict | None
+) -> pd.DataFrame:
+    """Shell cells for each query's Chebyshev SHELL (r_prev, r] at its grid
+    ``level`` (r_prev = r//2; round 1 includes the home cell), RESOLVED
+    against the index skeleton ``meta`` (see SpatialIndex.meta_np):
+
+      * COARSE shells (level <= index_level L): each cell is replaced by
+        the OCCUPIED level-L leaf cells beneath it -> rows (qid, -1, leaf).
+        The points side then joins on its single leaf column — no explode —
+        and the row count is occupancy-bounded (<= points under the shell).
+      * FINE shells (level > L): the cell itself survives as (qid, level,
+        cell), but only if its level-L ancestor is occupied AND its
+        geometric box intersects the ancestor's occupied bbox (meta mn/mx)
+        — both checks are exact emptiness proofs, so dropped cells can
+        contain no points and shell-disjoint exactness is preserved.
+
+    Vectorized per (level, r) group; out-of-grid cells are DROPPED (no
+    points live there), so shells never collide across rounds and the
+    carried top-k merge stays multiset-exact. With meta=None (skeleton too
+    big to memoize) all cells pass through unresolved as (qid, level,
+    cell) — the r3 behavior."""
+    from .index import expand_ranges
+
     frames = []
     for (level, r), grp in qpd.groupby(["level", "r"]):
         level, r = int(level), int(r)
@@ -258,20 +287,39 @@ def _candidate_cells(qpd: pd.DataFrame, d: int, coord_bits: int) -> pd.DataFrame
         flat = cells.reshape(-1, d)[ok.reshape(-1)]
         if not len(flat):
             continue
+        qids = qid_rep.reshape(-1)[ok.reshape(-1)]
         enc = morton_encode_np(flat, bits=level)
-        frames.append(
-            pd.DataFrame(
-                {
-                    "qid": qid_rep.reshape(-1)[ok.reshape(-1)],
-                    "level": np.int32(level),
-                    "cell": enc,
-                }
-            )
-        )
+        if meta is None:
+            frames.append(pd.DataFrame({"qid": qids, "lvl": np.int32(level), "cell": enc}))
+            continue
+        mcells = meta["cells"]
+        if level <= L:
+            s = d * (L - level)
+            i0 = np.searchsorted(mcells, enc << s)
+            i1 = np.searchsorted(mcells, (enc + 1) << s)
+            idx, counts = expand_ranges(i0, i1)
+            if idx.size:
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": np.repeat(qids, counts), "lvl": np.int32(-1),
+                         "cell": mcells[idx]}
+                    )
+                )
+        else:
+            anc = enc >> (d * (level - L))
+            pos = np.searchsorted(mcells, anc)
+            safe = np.minimum(pos, max(0, len(mcells) - 1))
+            occ = (pos < len(mcells)) & (mcells[safe] == anc) if len(mcells) else np.zeros(len(anc), dtype=bool)
+            w = 1 << w_shift
+            lo_c = flat * w
+            hi_c = lo_c + (w - 1)
+            keep = occ & (lo_c <= meta["mx"][safe]).all(axis=1) & (hi_c >= meta["mn"][safe]).all(axis=1)
+            if keep.any():
+                frames.append(
+                    pd.DataFrame({"qid": qids[keep], "lvl": np.int32(level), "cell": enc[keep]})
+                )
     if not frames:
-        return pd.DataFrame({"qid": pd.Series(dtype="int64"),
-                             "level": pd.Series(dtype="int32"),
-                             "cell": pd.Series(dtype="int64")})
+        return _empty_cells_pdf()
     return pd.concat(frames, ignore_index=True)
 
 
@@ -310,6 +358,10 @@ def knn(
     multi-round batches set reliable_checkpoints=True with
     spark.sparkContext.setCheckpointDir(...) — round frames then persist
     to reliable storage (falls back to localCheckpoint if no dir is set).
+    Reliable checkpoint files are NOT deleted by this function; enable
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (or clean the
+    checkpoint dir between batches) or long-lived sessions accumulate one
+    round-frame directory per round per call.
     """
     spark = index.points.sparkSession
     cfg: EngineConfig = index.cfg
@@ -362,14 +414,21 @@ def knn(
     xcols = [f"x{j}" for j in range(d)]
     pts_narrow = index.points.select("key", "span_idx", *xcols, "morton")
 
+    L = cfg.index_level
+    mnp = index.meta_np()
+    # ship the skeleton once per batch (not per task closure): rounds share it
+    bc_meta = spark.sparkContext.broadcast(mnp) if mnp is not None else None
+
     def _gen_cells(batches):
+        meta = bc_meta.value if bc_meta is not None else None
         for pdf in batches:
             if len(pdf):
-                yield _candidate_cells(pdf, d, cb)
+                yield _resolved_cells(pdf, d, cb, L, meta)
 
     # bytes-aware broadcast limits (rows): see BROADCAST_BYTES note above
-    cells_bcast_rows = BROADCAST_BYTES // 16
+    cells_bcast_rows = BROADCAST_BYTES // 24
     qside_bcast_rows = BROADCAST_BYTES // (8 * (d + 3))
+    leaf_shift = d * (kb - L)
 
     result_parts: list[DataFrame] = []
     stats_parts: list[DataFrame] = []
@@ -379,48 +438,82 @@ def knn(
             break
         exh = _exh_cond(d)
         branches: list[DataFrame] = []
+        cells = None
 
-        # --- mesh branch: shell cells -> ONE equi-join on (level, pcell) ---
-        mesh_pend = pend.where(~exh)
+        # --- mesh branch: shells resolved against the skeleton, then
+        # (a) coarse rows: ONE leaf equi-join, no points-side generate;
+        # (b) fine rows: (lvl, cell) equi-join with the points exploded
+        #     over the (few, even-quantized) fine levels only.
+        # r3 exploded ALL points over every distinct shell level each round
+        # and re-scanned the full table for rounds >= 2 stragglers — the
+        # measured scale-killer (25.3s of a ~70s varden round at 38.4M).
         if n_exh < n_pend:
+            mesh_pend = pend.where(~exh)
             cells = mesh_pend.select("qid", *qcols, "level", "r").mapInPandas(
-                _gen_cells, schema="qid long, level int, cell long"
+                _gen_cells, schema="qid long, lvl int, cell long"
             ).persist()
             lvl_counts = {
-                r2["level"]: r2["n"]
-                for r2 in cells.groupBy("level").agg(F.count(F.lit(1)).alias("n")).collect()
+                int(r2["lvl"]): int(r2["n"])
+                for r2 in cells.groupBy("lvl").agg(F.count(F.lit(1)).alias("n")).collect()
             }
-            levels = sorted(lvl_counts)
-            if levels:
-                # points side exploded ONCE over the levels present this
-                # round (usually 1-3): one scan, one join — not a union of
-                # per-level branch joins (round 2's exchange pile-up). The
-                # exploded array is a FOLDABLE int literal (hoisted by
-                # codegen); the cell comes from column arithmetic after the
-                # explode — an array-of-structs here allocates per ROW
-                # (38.4M allocs x levels), which measured as the round's
-                # GC-bound floor at 38.4M pts.
-                p = pts_narrow.select(
+            n_cells = sum(lvl_counts.values())
+            n_coarse = lvl_counts.get(-1, 0)
+            fine_levels = sorted(l for l in lvl_counts if l >= 0)
+
+            # straggler rounds: prune the points scan to the pending shells'
+            # Morton intervals (cached-batch min/max skipping) — round 1
+            # covers everything, so pruning starts at round 2
+            scan_pred = None
+            if rnd >= 2 and 0 < n_cells <= LEAF_COLLECT_CAP and mnp is not None:
+                anc = F.when(F.col("lvl") < 0, F.col("cell")).otherwise(
+                    F.expr(f"shiftrightunsigned(cell, CAST({d} * (lvl - {L}) AS INT))")
+                )
+                leaves = np.array(
+                    [r2["leaf"] for r2 in cells.select(anc.alias("leaf")).distinct().collect()],
+                    dtype=np.int64,
+                )
+                scan_pred = morton_interval_pred(leaves, leaf_shift)
+
+            mesh_parts: list[DataFrame] = []
+            if n_coarse:
+                cl = cells.where(F.col("lvl") < 0).select("qid", F.col("cell").alias("leaf"))
+                if n_coarse <= cells_bcast_rows:
+                    cl = F.broadcast(cl)
+                p = pts_narrow if scan_pred is None else pts_narrow.where(scan_pred)
+                p = p.withColumn("pcell", F.shiftrightunsigned("morton", leaf_shift))
+                mesh_parts.append(p.join(cl, F.col("pcell") == F.col("leaf")).drop("leaf", "morton"))
+            if fine_levels:
+                cl = cells.where(F.col("lvl") >= 0).select(
+                    "qid", F.col("lvl").alias("clvl"), "cell"
+                )
+                if n_cells - n_coarse <= cells_bcast_rows:
+                    cl = F.broadcast(cl)
+                p = pts_narrow if scan_pred is None else pts_narrow.where(scan_pred)
+                # foldable literal level array (codegen hoists it); the cell
+                # is column arithmetic AFTER the explode — an array-of-structs
+                # here allocates per ROW (GC-bound floor at 38.4M pts)
+                p = p.select(
                     "*",
                     F.explode(
-                        F.array(*[F.lit(int(lvl)).cast("int") for lvl in levels])
+                        F.array(*[F.lit(int(lvl)).cast("int") for lvl in fine_levels])
                     ).alias("plvl"),
                 ).withColumn(
                     "pcell",
                     F.expr(f"shiftrightunsigned(morton, CAST({d} * ({kb} - plvl) AS INT))"),
                 )
-                cl = cells.select("qid", F.col("level").alias("clvl"), "cell")
-                if sum(lvl_counts.values()) <= cells_bcast_rows:
-                    cl = F.broadcast(cl)
-                mesh_cand = p.join(cl, (p.plvl == cl.clvl) & (p.pcell == cl.cell)).drop(
-                    "clvl", "cell", "plvl"
+                mesh_parts.append(
+                    p.join(
+                        cl, (F.col("plvl") == F.col("clvl")) & (F.col("pcell") == F.col("cell"))
+                    ).drop("clvl", "cell", "plvl", "morton")
                 )
+            if mesh_parts:
+                mesh_cand = mesh_parts[0]
+                for mp in mesh_parts[1:]:
+                    mesh_cand = mesh_cand.unionByName(mp)
                 qside = mesh_pend.select("qid", *qcols)
                 if n_pend - n_exh <= qside_bcast_rows:
                     qside = F.broadcast(qside)
                 branches.append(mesh_cand.join(qside, "qid"))
-        else:
-            cells = None
 
         # --- exhaustive branch: filtered full scan for over-mesh queries ---
         if n_exh > 0:
@@ -445,20 +538,30 @@ def knn(
             )
             branches.append(exh_cand)
 
-        if not branches:
-            break
-        cand = branches[0]
-        for b in branches[1:]:
-            cand = cand.unionByName(b)
+        if branches:
+            cand = branches[0]
+            for b in branches[1:]:
+                cand = cand.unionByName(b)
 
-        lvl1 = cand.groupBy("qid", "pcell").agg(
-            F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("tk"),
-            F.count(F.lit(1)).alias("c"),
-        )
-        lvl2 = lvl1.groupBy("qid").agg(
-            F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, k).alias("tk_new"),
-            F.sum("c").alias("c_new"),
-        )
+            lvl1 = cand.groupBy("qid", "pcell").agg(
+                F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("tk"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            lvl2 = lvl1.groupBy("qid").agg(
+                F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, k).alias("tk_new"),
+                F.sum("c").alias("c_new"),
+            )
+            jbase = pend.join(lvl2, "qid", "left")
+        else:
+            # every pending shell resolved to zero occupied cells (fully
+            # off-grid, or over empty space) and no exhaustive queries: the
+            # termination columns must STILL run this round so _covered
+            # queries finish as done/drop — r3 broke the loop here, and
+            # queries whose round-2+ shell fell entirely off-grid silently
+            # produced no result row at all
+            jbase = pend.withColumn("tk_new", F.lit(None).cast(_ENTRY_ARR)).withColumn(
+                "c_new", F.lit(None).cast("long")
+            )
 
         # termination as COLUMN expressions over pend ⋈ round-stats: merge
         # the carried top-k with this shell's, then apply the ring lower
@@ -470,7 +573,7 @@ def knn(
             F.array_sort(F.concat(F.col("tk"), F.coalesce(F.col("tk_new"), empty_tk))), 1, k
         )
         j = (
-            pend.join(lvl2, "qid", "left")
+            jbase
             .withColumn("tk_m", merged)
             .withColumn("cnt_m", F.col("cnt") + F.coalesce(F.col("c_new"), F.lit(0)))
             .withColumn("kth", F.try_element_at(F.col("tk_m"), F.lit(k)).getField("dist2"))

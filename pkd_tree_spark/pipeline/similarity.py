@@ -11,8 +11,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from ..config import A1, A2
 from .dedup import quantized_embeddings
@@ -67,6 +70,44 @@ def lsh_bucket_col(qv_col, n_planes: int = 8, plane_offset: int = 0):
     return bucket
 
 
+def _table_keys_udf(n_planes: int, n_tables: int, m2: int, aug_zero: bool):
+    """Arrow-batched pandas UDF: ALL ``n_tables`` bucket keys of a vector in
+    ONE integer matmul against the ±1 plane matrix. Bit-identical to
+    ``lsh_bucket_col`` per table (same sign rule ((i*A1 + pg*A2) >> 7) % 2,
+    same >=0 bit test, exact int64 sums), but one (batch × d+1) @ (d+1 × 48)
+    GEMM replaces n_tables*n_planes higher-order array aggregates per row —
+    the per-row expression cost made the r3 corpus pass 18.7s at sf0.1 for
+    what is a trivial bucketed join. Asymmetric augmentation happens inside:
+    data vectors append floor(sqrt(m2 - norm2)), queries append 0."""
+    P = n_planes * n_tables
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def keys(qv: pd.Series, norm2: pd.Series) -> pd.Series:
+        V = np.stack(qv.to_numpy()).astype(np.int64)  # (b, d)
+        if aug_zero:
+            aug = np.zeros(len(V), dtype=np.int64)
+        else:
+            # float64 sqrt matches F.floor(F.sqrt(...)) IEEE-exactly
+            aug = np.floor(
+                np.sqrt(np.maximum(0.0, float(m2) - norm2.to_numpy(dtype=np.float64)))
+            ).astype(np.int64)
+        Va = np.concatenate([V, aug[:, None]], axis=1)  # (b, d+1)
+        idx = np.arange(Va.shape[1], dtype=np.int64)
+        pg = np.arange(P, dtype=np.int64)
+        S = np.where(
+            ((idx[:, None] * A1 + pg[None, :] * A2) >> 7) % 2 == 0, np.int64(1), np.int64(-1)
+        )
+        bits = (Va @ S) >= 0  # (b, P) — exact int64 sums
+        out = np.zeros((len(Va), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for p in range(n_planes):
+                out[:, t] |= bits[:, t * n_planes + p].astype(np.int64) << p
+            out[:, t] |= np.int64(t << n_planes)
+        return pd.Series(list(out))
+
+    return keys
+
+
 def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int = 6) -> DataFrame:
     """Approximate top-k MIPS: asymmetric norm augmentation + hyperplane
     LSH buckets + exact integer re-rank.
@@ -89,41 +130,42 @@ def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int = 6)
     The re-rank uses the ORIGINAL vectors' exact integer dot. Output shape
     == topk_dot (rn may be < k if buckets are small). At 100TB the
     bucketed join replaces topk_dot's full scan; recall is pytest-checked
-    AND logged per bench run (ann_recall_at_10)."""
+    AND logged per bench run (ann_recall_at_10).
+
+    Plan shape: the corpus pass is ONE pandas-UDF projection (all 8 table
+    keys per row in one matmul, see _table_keys_udf) exploded to slim
+    (vec_id, bucket) pairs — the embedding array never rides the ×8
+    explode; probe flips (Hamming-0/1/2 XOR masks) expand the tiny
+    broadcast query side; the exact re-rank joins qv back onto the small
+    candidate set by vec_id."""
     n_tables = 8
     base = quantized_embeddings(emb)
     m2 = base.agg(F.max("norm2")).collect()[0][0] or 0
-    aug = F.concat(
-        "qv", F.array(F.floor(F.sqrt(F.lit(float(m2)) - F.col("norm2").cast("double"))).cast("long"))
+    dkeys = _table_keys_udf(n_planes, n_tables, m2, aug_zero=False)(F.col("qv"), F.col("norm2"))
+    corpus = base.select("vec_id", F.explode(dkeys).alias("bucket"))
+    qbase = base.where(F.col("vec_id") < n_queries)
+    qkeys = _table_keys_udf(n_planes, n_tables, m2, aug_zero=True)(F.col("qv"), F.col("norm2"))
+    masks = (
+        [0]
+        + [1 << p for p in range(n_planes)]
+        + [(1 << p) | (1 << p2) for p in range(n_planes) for p2 in range(p + 1, n_planes)]
     )
-    zero_aug = F.concat("qv", F.array(F.lit(0).cast("long")))
-    # (table, bucket) packed into one long key: t << n_planes | bucket
-    dkeys = F.array(
-        *[
-            lsh_bucket_col(aug, n_planes, plane_offset=t * n_planes) + F.lit(t << n_planes)
-            for t in range(n_tables)
-        ]
+    qprobe = (
+        qbase.select(F.col("vec_id").alias("qid"), F.explode(qkeys).alias("b0"))
+        .select("qid", "b0", F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"))
+        .select("qid", F.col("b0").bitwiseXOR(F.col("mask")).alias("bucket"))
     )
-    q = base.select("vec_id", "qv", F.explode(dkeys).alias("bucket"))
-    qkeys = []
-    for t in range(n_tables):
-        b = lsh_bucket_col(zero_aug, n_planes, plane_offset=t * n_planes) + F.lit(t << n_planes)
-        qkeys.append(b)
-        qkeys.extend(b.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes))
-        qkeys.extend(
-            b.bitwiseXOR(F.lit((1 << p) | (1 << p2)))
-            for p in range(n_planes)
-            for p2 in range(p + 1, n_planes)
-        )
-    queries = (
-        base.where(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("qid"), F.col("qv").alias("qq"), F.explode(F.array(*qkeys)).alias("bucket"))
-    )
-    cand = (
-        q.join(F.broadcast(queries), "bucket")
+    cand_ids = (
+        corpus.join(F.broadcast(qprobe), "bucket")
         .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _dot("qq", "qv").alias("dot"))
+        .select("qid", "vec_id")
         .distinct()
+    )
+    qq = qbase.select(F.col("vec_id").alias("qid"), F.col("qv").alias("qq"))
+    cand = (
+        cand_ids.join(base.select("vec_id", "qv"), "vec_id")
+        .join(F.broadcast(qq), "qid")
+        .select("qid", "vec_id", _dot("qq", "qv").alias("dot"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
     return (

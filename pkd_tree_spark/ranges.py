@@ -33,7 +33,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import EngineConfig
-from .index import BallRegion, BoxRegion, ConvexPolygonRegion, SpatialIndex, cover_regions
+from .index import (
+    BallRegion,
+    BoxRegion,
+    ConvexPolygonRegion,
+    SpatialIndex,
+    cover_regions,
+    interior_counts_np,
+    morton_interval_pred,
+    resolve_covers_np,
+)
 
 __all__ = [
     "box_queries_df",
@@ -196,12 +205,13 @@ def _polygon_pred() -> Column:
 
 def _with_lvl_cell(df: DataFrame, src_col: str, levels: list[int], d: int, top_bits_level: int) -> DataFrame:
     """Append (lvl, c): ``src_col``'s ancestor cell at each cover level —
-    ONE explode instead of one scan per level. The exploded array is a
-    FOLDABLE int literal (codegen hoists it); the cell is column arithmetic
-    AFTER the explode. An array-of-structs explode here allocates a fresh
-    array per ROW — measured as a GC-bound floor (and negative 4->16-core
-    scaling) on the 38.4M-point boundary join. ``top_bits_level`` is the
-    level src_col itself is encoded at."""
+    ONE explode instead of one scan per level. Applied ONLY to the small
+    metadata table (leaf resolution): r3 exploded the full POINTS table
+    over every distinct cover level, multiplying the 38.4M-row scan by
+    6-8x and inverting 4->16-core scaling (alloc/bandwidth-bound generate);
+    the points side now derives ONE leaf column and equi-joins resolved
+    covers (see _boundary_candidates). ``top_bits_level`` is the level
+    src_col itself is encoded at."""
     return df.select(
         "*", F.explode(F.array(*[F.lit(int(l)).cast("int") for l in levels])).alias("lvl")
     ).withColumn(
@@ -214,44 +224,96 @@ def _interior_counts(index: SpatialIndex, covers) -> DataFrame | None:
     answers without touching point rows (range_count.hpp:79-80 analog).
     ``covers`` is pandas (small batch) or a DataFrame (large batch).
 
-    ONE join: the (small, persisted) metadata table is exploded once over
-    the distinct cover levels and equi-joined on (lvl, cell); one groupBy.
-    Round 2 unioned a join-plus-aggregate per level — 31 exchanges for a
-    64-box plan (BENCH/PLANS.md:50) and the 0.27-0.48 bracket scaling
-    efficiencies; this plan has one aggregate exchange total."""
+    Small batches with a memoized meta skip Spark entirely: the interior
+    branch is two searchsorteds over the driver-resident prefix sums
+    (interior_counts_np) — zero jobs, zero shuffles. The general path is
+    ONE join of the meta exploded over the interior cover levels."""
     spark = index.points.sparkSession
     d, L = index.cfg.dims, index.cfg.index_level
+    if isinstance(covers, pd.DataFrame):
+        mnp = index.meta_np()
+        if mnp is not None:
+            sel = covers[covers.interior]
+            if sel.empty:
+                return None
+            pdf = interior_counts_np(mnp, sel, d, L)
+            if pdf.empty:
+                return None
+            return spark.createDataFrame(pdf)
     cdf = _cover_slice(spark, covers, interior=True)
     if cdf is None:
         return None
-    levels = _cover_levels(covers)
+    levels = _slice_levels(covers, cdf)
     m = _with_lvl_cell(index.meta.select("cell", "cnt"), "cell", levels, d, L).select("lvl", "c", "cnt")
     if not isinstance(covers, pd.DataFrame):
         m = F.broadcast(m)  # meta is ~n/leaf_target rows; covers may be huge
     return m.join(cdf, ["lvl", "c"]).groupBy("qid").agg(F.sum("cnt").alias("cnt"))
 
 
+def _slice_levels(covers, cdf) -> list[int]:
+    """Distinct levels present in a cover SLICE (not the whole cover set —
+    r3 exploded the points over interior-only levels too, multiplying the
+    boundary scan for nothing)."""
+    if isinstance(covers, pd.DataFrame):
+        return _cover_levels(covers)
+    return sorted(r["lvl"] for r in cdf.select("lvl").distinct().collect())
+
+
 def _boundary_candidates(
     index: SpatialIndex, covers, interior_too: bool = False, cols: list[str] | None = None
 ) -> DataFrame | None:
-    """Point rows inside cover cells, tagged with qid — ONE equi-join on
-    (lvl, cell) with the points side exploded once over the distinct cover
-    levels (single scan; with broadcast covers the explode+join pipelines
-    inside one codegen stage and non-matching rows never materialize).
-    Broadcast for small cover sets, shuffle join for DataFrame covers.
+    """Point rows inside cover cells, tagged with qid.
 
-    ``cols`` narrows the point columns carried through the hot join —
-    counts pass the coordinate columns only (no doc_id strings through a
-    ~10^8-row generate)."""
+    Plan: cover cells are first RESOLVED to the occupied level-L leaf
+    cells beneath them (driver-side numpy against the memoized meta for
+    small batches; a meta-side explode join for huge query sets), then the
+    points table — scanned ONCE, pre-filtered by the resolved leaves'
+    Morton intervals (cached-batch min/max pruning), with ONE derived leaf
+    column and NO generate — equi-joins the resolved (qid, leaf) pairs.
+    r3 instead exploded all points over every distinct cover level
+    (n x 6-8 generated rows at 38.4M: 35->38s NEGATIVE 4->16-core
+    scaling); the resolved join scans n rows exactly once.
+
+    Resolution is occupancy-bounded: a cover cell resolves to at most the
+    occupied leaves beneath it (<= points beneath it), so the broadcast
+    side stays small for bench-scale query sets and shuffles for huge
+    ones. ``cols`` narrows the point columns carried through the hot join
+    — counts pass the coordinate columns only."""
     spark = index.points.sparkSession
-    d, gb = index.cfg.dims, index.cfg.grid_bits
+    cfg = index.cfg
+    d, gb, L = cfg.dims, cfg.grid_bits, cfg.index_level
+    shift = d * (gb - L)
+    base = list(cols) if cols is not None else [c for c in index.points.columns if c != "morton"]
+
+    if isinstance(covers, pd.DataFrame):
+        mnp = index.meta_np()
+        if mnp is not None:
+            sel = covers if interior_too else covers[~covers.interior]
+            if sel.empty:
+                return None
+            res = resolve_covers_np(mnp, sel, d, L)
+            if res.empty:
+                return None
+            rdf = F.broadcast(spark.createDataFrame(res))
+            pts = index.points.select(*base, "morton")
+            pred = morton_interval_pred(res["leaf"].to_numpy(), shift)
+            if pred is not None:
+                pts = pts.where(pred)
+            pts = pts.withColumn("pleaf", F.shiftrightunsigned("morton", shift))
+            return pts.join(rdf, F.col("pleaf") == F.col("leaf")).drop("pleaf", "leaf", "morton")
+
+    # general path: meta-side resolution join (huge query sets, or a meta
+    # too large to memoize) — the points side is still ONE scan + equi-join
     cdf = _cover_slice(spark, covers, interior=None if interior_too else False)
     if cdf is None:
         return None
-    levels = _cover_levels(covers)
-    base = list(cols) if cols is not None else [c for c in index.points.columns if c != "morton"]
-    pts = _with_lvl_cell(index.points.select(*base, "morton"), "morton", levels, d, gb)
-    return pts.join(cdf, ["lvl", "c"]).drop("lvl", "c", "morton")
+    levels = _slice_levels(covers, cdf)
+    m = _with_lvl_cell(index.meta.select("cell"), "cell", levels, d, L).select(
+        "lvl", "c", F.col("cell").alias("leaf")
+    )
+    resolved = cdf.join(F.broadcast(m), ["lvl", "c"]).select("qid", "leaf", "interior")
+    pts = index.points.select(*base, F.shiftrightunsigned("morton", shift).alias("pleaf"))
+    return pts.join(resolved, F.col("pleaf") == F.col("leaf")).drop("pleaf", "leaf")
 
 
 def _finalize_counts(queries_df: DataFrame, branches: list[DataFrame | None], small: bool) -> DataFrame:

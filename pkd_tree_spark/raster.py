@@ -69,15 +69,18 @@ def vector_to_raster(
     qdf = spark.createDataFrame(polys[["qid", "vx", "vy"]]).repartition(
         min(cfg.partitions, max(1, len(polys)))
     )
+    # clamp the bbox span to the grid, then DROP polygons whose bbox misses
+    # the grid entirely (max < 0 or min > n-1): F.sequence(start, stop) with
+    # start > stop generates a DESCENDING sequence, which would burn
+    # out-of-range cells for off-grid polygons instead of nothing
     cand = (
-        qdf.withColumn("g0", F.explode(F.sequence(
-            F.greatest(F.lit(0), (F.array_min("vx") / w).cast("long")),
-            F.least(F.lit(n - 1), (F.array_max("vx") / w).cast("long")),
-        )))
-        .withColumn("g1", F.explode(F.sequence(
-            F.greatest(F.lit(0), (F.array_min("vy") / w).cast("long")),
-            F.least(F.lit(n - 1), (F.array_max("vy") / w).cast("long")),
-        )))
+        qdf.withColumn("b0lo", F.greatest(F.lit(0), (F.array_min("vx") / w).cast("long")))
+        .withColumn("b0hi", F.least(F.lit(n - 1), (F.array_max("vx") / w).cast("long")))
+        .withColumn("b1lo", F.greatest(F.lit(0), (F.array_min("vy") / w).cast("long")))
+        .withColumn("b1hi", F.least(F.lit(n - 1), (F.array_max("vy") / w).cast("long")))
+        .where((F.col("b0lo") <= F.col("b0hi")) & (F.col("b1lo") <= F.col("b1hi")))
+        .withColumn("g0", F.explode(F.sequence("b0lo", "b0hi")))
+        .withColumn("g1", F.explode(F.sequence("b1lo", "b1hi")))
     )
     cx2 = (F.col("g0") * w) * 2 + (w - 1)  # doubled center coords (exact int)
     cy2 = (F.col("g1") * w) * 2 + (w - 1)

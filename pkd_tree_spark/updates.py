@@ -392,8 +392,21 @@ class PersistentIndex:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
         def _refresh_meta():
-            pts = spark.read.parquet(self.points_path).drop("pbucket")
-            _meta_of(pts, cfg).write.mode("overwrite").parquet(self.meta_path)
-            return {}
+            # targeted, like retile_hot's: recompute meta ONLY for the
+            # touched buckets' cells (partition pruning keeps untouched
+            # buckets' files unread — O(points in touched buckets), not
+            # O(n)) and keep the rest of the meta rows as-is
+            d = cfg.dims
+            shift = d * (cfg.index_level - self.bucket_level)
+            fresh_pts = spark.read.parquet(self.points_path).where(
+                F.col("pbucket").isin([int(b) for b in touched])
+            )
+            fresh = _meta_of(fresh_pts.drop("pbucket"), cfg)
+            old = spark.read.parquet(self.meta_path).where(
+                ~F.shiftrightunsigned("cell", shift).isin([int(b) for b in touched])
+            )
+            merged = old.unionByName(fresh).localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(self.meta_path)
+            return {"cells": merged.count()}
 
         ckpt.run("refresh_meta", _refresh_meta)

@@ -60,3 +60,30 @@ def test_knn_duplicate_points_multiset(index_uniform, points_uniform):
     queries = pd.DataFrame({"qid": [0], "q0": [int(x0)], "q1": [int(x1)]})
     res = knn(index_uniform, queries, k=2).toPandas().sort_values("rn")
     assert res.iloc[0]["dist2"] == 0 and res.iloc[1]["dist2"] == 0
+
+
+def test_knn_offgrid_shell_still_terminates(spark):
+    """Regression (r4): a coarse-level boundary query whose round-2+ shell
+    falls ENTIRELY off-grid must still finish via the covered-mesh rule.
+    r3 broke the round loop when no shell cells survived, silently losing
+    still-pending queries (and leaking the persisted empty cells frame)."""
+    from pkd_tree_spark.config import EngineConfig
+    from pkd_tree_spark.index import SpatialIndex
+
+    cfg = EngineConfig(dims=2, index_level=3, knn_level=1, partitions=4)
+    pts = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(5)],
+            "span_idx": [0] * 5,
+            "key": list(range(5)),
+            "x0": [0, 1, 2, 3, 4],
+            "x1": [0, 1, 2, 3, 4],
+        }
+    )
+    idx = SpatialIndex.build(spark.createDataFrame(pts), cfg)
+    # far-corner query at level 1: round 1 scans the whole 2x2 grid but the
+    # kth distance exceeds (r*w)^2, so round 2's shell is fully off-grid
+    q = pd.DataFrame({"qid": [0], "q0": [999_999], "q1": [999_999]})
+    res = knn(idx, q, k=3, level=1, adaptive=False).toPandas()
+    assert len(res) == 3
+    assert res.sort_values("rn")["key"].tolist() == [4, 3, 2]

@@ -132,3 +132,54 @@ def test_cow_merge_rewrites_only_touched_buckets(tmp_path, spark, cfg, index_uni
     assert len(done) == 1  # copy-on-write granularity
     loaded = p.load(spark)
     assert loaded.points.count() == len(points_uniform) + 10
+
+
+def test_cow_meta_refresh_reads_only_touched_buckets(
+    tmp_path, spark, cfg, index_uniform, points_uniform
+):
+    """The meta refresh after a COW merge must be TARGETED: only touched
+    buckets' point files are read (partition pruning), untouched cells'
+    meta rows are carried over verbatim. Proven behaviorally: delete an
+    UNTOUCHED bucket's data files before the merge — a full-table refresh
+    would silently drop that bucket's meta rows (or fail); the targeted
+    refresh never reads it, so its meta rows survive unchanged."""
+    import os
+    import shutil
+
+    p = PersistentIndex(path=str(tmp_path / "idx"), cfg=cfg)
+    p.write(index_uniform)
+    meta_before = spark.read.parquet(p.meta_path).toPandas().set_index("cell").sort_index()
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": [f"ins_{i}" for i in range(10)],
+            "span_idx": [0] * 10,
+            "key": [90_000_000 + i for i in range(10)],
+            "x0": list(range(10)),
+            "x1": list(range(10)),  # corner -> pbucket 0 only
+        }
+    )
+    # remove a far-away bucket's files entirely (untouched by the batch)
+    bucket_dirs = sorted(
+        d for d in os.listdir(p.points_path) if d.startswith("pbucket=") and d != "pbucket=0"
+    )
+    victim = bucket_dirs[-1]
+    victim_bucket = int(victim.split("=")[1])
+    shutil.rmtree(os.path.join(p.points_path, victim))
+
+    p.merge_insert_cow(spark, spark.createDataFrame(batch))
+
+    meta_after = spark.read.parquet(p.meta_path).toPandas().set_index("cell").sort_index()
+    d, shift = cfg.dims, cfg.dims * (cfg.index_level - p.bucket_level)
+    # the deleted (untouched) bucket's cells are still present, bit-for-bit
+    victim_cells = [c for c in meta_before.index if (c >> shift) == victim_bucket]
+    assert victim_cells, "fixture should occupy the victim bucket"
+    pd.testing.assert_frame_equal(
+        meta_after.loc[victim_cells], meta_before.loc[victim_cells], check_like=True
+    )
+    # the touched bucket's counts reflect the insert
+    touched_cells = [c for c in meta_after.index if (c >> shift) == 0]
+    assert (
+        meta_after.loc[touched_cells, "cnt"].sum()
+        == meta_before.loc[[c for c in meta_before.index if (c >> shift) == 0], "cnt"].sum() + 10
+    )
