@@ -155,11 +155,27 @@ class SpatialIndex:
         return self._ladder
 
     @classmethod
-    def build(cls, points_df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, persist: bool = True) -> "SpatialIndex":
+    def build(
+        cls,
+        points_df: DataFrame,
+        cfg: EngineConfig = DEFAULT_CONFIG,
+        persist: bool = True,
+        stage_input: bool = True,
+    ) -> "SpatialIndex":
         d = cfg.dims
         xcols = [f"x{j}" for j in range(d)]
         gcols = [F.shiftrightunsigned(F.col(c), cfg.coord_shift) for c in xcols]
         pts = points_df.withColumn("morton", morton_col(gcols, d, cfg.grid_bits))
+        if stage_input:
+            # repartitionByRange evaluates its child TWICE — once for the
+            # range-bound sampling pass, once for the shuffle. When the
+            # input is a derived pipeline (span synthesis + extraction +
+            # coordinate arithmetic — measured 53s of a 145s varden build
+            # at 38.4M, paid twice), staging the encoded rows once makes
+            # the sampling pass a cheap re-read. The pick_pivots analog
+            # (build_tree.hpp:48-70) samples an in-memory array for the
+            # same reason.
+            pts = pts.localCheckpoint(eager=True)
         # The one index-build shuffle (reference: the counting-sort partition,
         # build_tree.hpp:83-121). Range partitioning keeps cells contiguous
         # per partition -> parquet min/max stats on morton give file skipping.

@@ -82,11 +82,12 @@ HIST_SAMPLE_ROWS = 2_000_000
 # a round whose offset mesh (2r+1)^d exceeds this switches to an exhaustive
 # filtered scan (see module docstring); 2^18 cells * 8B = 2MB per query mesh
 MESH_CAP_LOG2 = 18.0
-# rounds >= 2 with at most this many resolved shell cells collect the
-# distinct leaf ancestors to the driver and pre-filter the points scan by
-# their Morton intervals (straggler rounds then skip ~the whole table via
-# cached-batch min/max pruning instead of re-scanning all n rows)
-LEAF_COLLECT_CAP = 50_000
+# each round collects the shells' DISTINCT leaf ancestors (bounded by the
+# skeleton size, not the shell-cell count) and pre-filters each branch's
+# points scan by their Morton intervals — cached-batch min/max pruning
+# skips cold regions in round 1 on skewed inputs and ~the whole table in
+# straggler rounds. Skipped if the distinct set somehow exceeds this cap.
+LEAF_COLLECT_CAP = 100_000
 
 RESULT_SCHEMA = "qid long, rn long, key long, doc_id string, span_idx long, dist2 long"
 STATS_SCHEMA = "qid long, rounds int, cand_rows long"
@@ -204,6 +205,12 @@ def _assign_levels(
     bbox = F.greatest(*[F.col(f"mx{j}") - F.col(f"mn{j}") + 1 for j in range(d)]) if d > 1 else (
         F.col("mx0") - F.col("mn0") + 1
     )
+    # NOTE (r4, measured): halving the pre-snap target here to compensate
+    # the even-lattice coarsening cut avg candidates only 408->372 at
+    # 38.4M varden (no time change) while pushing sf0.1 ring rounds
+    # 1.11->1.28 (each extra round pays the per-action floor) — the
+    # overshoot comes from cluster-edge geometry, not the density model,
+    # so the full target stays.
     w_dens = bbox * F.pow(F.lit(float(thresh)) / F.col("cnt"), 1.0 / d) / 3.0
     lvl_dens = F.lit(cb) - F.floor(F.log2(F.greatest(w_dens, F.lit(1.0))))
     gap = F.greatest(
@@ -460,42 +467,80 @@ def knn(
             n_coarse = lvl_counts.get(-1, 0)
             fine_levels = sorted(l for l in lvl_counts if l >= 0)
 
-            # straggler rounds: prune the points scan to the pending shells'
-            # Morton intervals (cached-batch min/max skipping) — round 1
-            # covers everything, so pruning starts at round 2
-            scan_pred = None
-            if rnd >= 2 and 0 < n_cells <= LEAF_COLLECT_CAP and mnp is not None:
+            # Per-LEVEL scan pruning: collect each level's DISTINCT leaf
+            # ancestors (bounded by the skeleton size, never the shell-cell
+            # count) and, where a level's leaves hold a minority of the
+            # points (exact from the memoized prefix sums), give that level
+            # its OWN Morton-interval-filtered scan — cached-batch min/max
+            # skipping then reads only the touched regions. On skewed
+            # inputs the cluster queries' deep levels touch only hot
+            # leaves, so their scans are nearly free; only levels whose
+            # leaves span most of the table share one full explode scan.
+            # Straggler rounds >= 2 prune everything the same way. r3
+            # instead exploded ALL n rows over EVERY distinct level.
+            per_level_leaves: dict[int, np.ndarray] | None = None
+            if mnp is not None and n_cells:
                 anc = F.when(F.col("lvl") < 0, F.col("cell")).otherwise(
                     F.expr(f"shiftrightunsigned(cell, CAST({d} * (lvl - {L}) AS INT))")
                 )
-                leaves = np.array(
-                    [r2["leaf"] for r2 in cells.select(anc.alias("leaf")).distinct().collect()],
-                    dtype=np.int64,
+                rows = (
+                    cells.select("lvl", anc.alias("leaf"))
+                    .distinct()
+                    .limit(LEAF_COLLECT_CAP + 1)
+                    .collect()
                 )
-                scan_pred = morton_interval_pred(leaves, leaf_shift)
+                if len(rows) <= LEAF_COLLECT_CAP:
+                    per_level_leaves = {}
+                    for r2 in rows:
+                        per_level_leaves.setdefault(int(r2["lvl"]), []).append(r2["leaf"])
+                    per_level_leaves = {
+                        lv: np.array(ls, dtype=np.int64) for lv, ls in per_level_leaves.items()
+                    }
+
+            def _covered_frac(leaves: np.ndarray) -> float:
+                i = np.searchsorted(mnp["cells"], np.unique(leaves))
+                total = int(mnp["cum"][-1])
+                return float((mnp["cum"][i + 1] - mnp["cum"][i]).sum()) / max(1, total)
+
+            def _scan(leaves: np.ndarray | None) -> DataFrame:
+                if leaves is None or _covered_frac(leaves) > 0.4:
+                    return pts_narrow
+                return pts_narrow.where(morton_interval_pred(leaves, leaf_shift))
 
             mesh_parts: list[DataFrame] = []
             if n_coarse:
                 cl = cells.where(F.col("lvl") < 0).select("qid", F.col("cell").alias("leaf"))
                 if n_coarse <= cells_bcast_rows:
                     cl = F.broadcast(cl)
-                p = pts_narrow if scan_pred is None else pts_narrow.where(scan_pred)
+                p = _scan(None if per_level_leaves is None else per_level_leaves.get(-1))
                 p = p.withColumn("pcell", F.shiftrightunsigned("morton", leaf_shift))
                 mesh_parts.append(p.join(cl, F.col("pcell") == F.col("leaf")).drop("leaf", "morton"))
-            if fine_levels:
-                cl = cells.where(F.col("lvl") >= 0).select(
+            shared_levels: list[int] = []
+            for lvl in fine_levels:
+                leaves = None if per_level_leaves is None else per_level_leaves.get(lvl)
+                if leaves is None or _covered_frac(leaves) > 0.4:
+                    shared_levels.append(lvl)
+                    continue
+                cl = cells.where(F.col("lvl") == lvl).select("qid", "cell")
+                if lvl_counts[lvl] <= cells_bcast_rows:
+                    cl = F.broadcast(cl)
+                p = pts_narrow.where(morton_interval_pred(leaves, leaf_shift)).withColumn(
+                    "pcell", F.shiftrightunsigned("morton", d * (kb - lvl))
+                )
+                mesh_parts.append(p.join(cl, F.col("pcell") == F.col("cell")).drop("cell", "morton"))
+            if shared_levels:
+                cl = cells.where(F.col("lvl").isin(shared_levels)).select(
                     "qid", F.col("lvl").alias("clvl"), "cell"
                 )
-                if n_cells - n_coarse <= cells_bcast_rows:
+                if sum(lvl_counts[lv] for lv in shared_levels) <= cells_bcast_rows:
                     cl = F.broadcast(cl)
-                p = pts_narrow if scan_pred is None else pts_narrow.where(scan_pred)
                 # foldable literal level array (codegen hoists it); the cell
                 # is column arithmetic AFTER the explode — an array-of-structs
                 # here allocates per ROW (GC-bound floor at 38.4M pts)
-                p = p.select(
+                p = pts_narrow.select(
                     "*",
                     F.explode(
-                        F.array(*[F.lit(int(lvl)).cast("int") for lvl in fine_levels])
+                        F.array(*[F.lit(int(lvl)).cast("int") for lvl in shared_levels])
                     ).alias("plvl"),
                 ).withColumn(
                     "pcell",
