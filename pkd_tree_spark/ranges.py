@@ -72,6 +72,8 @@ def ball_queries_df(spark: SparkSession, balls: pd.DataFrame) -> DataFrame:
 
 
 DISTRIBUTED_COVER_THRESHOLD = 4000
+# resolved (qid, leaf, interior) rows are ~24B: 5M rows ≈ 120MB broadcast
+RESOLVED_BCAST_ROWS = 5_000_000
 
 
 def _covers_distributed(spark, qpd: pd.DataFrame, kind: str, cfg, budget: int) -> DataFrame:
@@ -312,6 +314,13 @@ def _boundary_candidates(
         "lvl", "c", F.col("cell").alias("leaf")
     )
     resolved = cdf.join(F.broadcast(m), ["lvl", "c"]).select("qid", "leaf", "interior")
+    # the resolved side is usually a few MB but can exceed AQE's broadcast
+    # threshold (10k-box batches resolve to ~10^6 rows), which would fall
+    # back to SHUFFLING the full points table on the leaf key — measure it
+    # (cheap: covers x meta) and hint the broadcast explicitly when it fits
+    resolved = resolved.localCheckpoint(eager=True)
+    if resolved.count() <= RESOLVED_BCAST_ROWS:
+        resolved = F.broadcast(resolved)
     pts = index.points.select(*base, F.shiftrightunsigned("morton", shift).alias("pleaf"))
     return pts.join(resolved, F.col("pleaf") == F.col("leaf")).drop("pleaf", "leaf")
 
