@@ -102,8 +102,25 @@ def run_suite() -> dict:
             .select((F.col("k") + F.col("rep") * F.lit(stride)).alias("k"))
         )
 
-    idx = {}
+    # RESIDENCY BOUND (r4 153.6M lesson: by the update section ~6 persisted
+    # full-size tables were alive and 16-core runs GC-thrashed into negative
+    # scaling): the suite runs one distribution at a time, releases every
+    # cached table the moment its section ends, and nudges both GCs so the
+    # ContextCleaner actually drops the blocks before the next build.
+    import gc as _gc
+
+    def _gc_release(*indexes):
+        for ix_ in indexes:
+            if ix_ is not None:
+                ix_.release()
+        _gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+
     n_points = 0
+    cfg_uniform = None
     for dist in ("uniform", "varden"):
         pts = load_points(spark, SF_DIR, dims=2, dist=dist, keys_df=keys_df)
         # Partition count is DATA-sized (~1.2M rows per range bucket) and
@@ -119,11 +136,18 @@ def run_suite() -> dict:
             ix = SpatialIndex.build(pts, cfg)
             ix.points.count()  # force the shuffle + persist
             ix.meta.count()
+            if ix._staged is not None:
+                # the staged input served its purpose (sampling + shuffle);
+                # the persisted index is materialized, so drop the stage
+                # now instead of carrying a second full-size table through
+                # the query sections (lineage remains for fault recovery)
+                ix._staged.unpersist()
             return ix
 
         ix = timed(f"build_{dist}", _build)
         n_points = ix.points.count()
-        idx[dist] = ix
+        if dist == "uniform":
+            cfg_uniform = cfg
         thr[f"build_{dist}"] = round(n_points / times[f"build_{dist}"], 1)
 
         # batch 10-NN: in-distribution query sample of the input itself at
@@ -153,6 +177,12 @@ def run_suite() -> dict:
                 "avg_ring_rounds": round(float(s["avg_rounds"]), 3),
                 "max_ring_rounds": int(s["max_rounds"]),
                 "avg_candidate_rows": round(float(s["avg_cand_rows"]), 1),
+                # dummy-leaf duplicate collapse: rows in the pruned
+                # candidate table when it engaged (None = dup factor too
+                # low, raw path). cand_rows above already reflect it.
+                "pruned_rows": (
+                    ix._pruned[0].count() if isinstance(ix._pruned, tuple) else None
+                ),
             }
 
         timed(f"knn10_{dist}", _knn_run, items=nq)
@@ -180,40 +210,64 @@ def run_suite() -> dict:
                     items=len(bb),
                 )
 
-    # batch update: insert then delete a 1% batch (tests/test.cpp:53-74)
-    ix = idx["uniform"]
-    batch = (
-        ix.points.where(F.col("key") % 100 == 7)
-        .select("doc_id", "span_idx", (F.col("key") + 3_000_000_000).alias("key"), "x0", "x1")
-    ).persist()
-    bn = batch.count()
-    # materialization (count) happens INSIDE timed(): merge_insert only
-    # builds a lazy plan, so timing it alone would measure no Spark work
-    def _do_insert():
-        ins = merge_insert(ix, batch)
-        ins.points.count()
-        ins.meta.count()  # metadata refresh is part of the update cost (M2)
-        return ins
+            # batch update: insert then delete a 1% batch
+            # (tests/test.cpp:53-74) — run while the uniform index is the
+            # ONLY resident index, and release each derived index as soon
+            # as its measurement lands
+            batch = (
+                ix.points.where(F.col("key") % 100 == 7)
+                .select("doc_id", "span_idx", (F.col("key") + 3_000_000_000).alias("key"), "x0", "x1")
+            ).persist()
+            bn = batch.count()
+            # materialization (count) happens INSIDE timed(): merge_insert
+            # only builds a lazy plan, so timing it alone measures nothing
+            def _do_insert():
+                ins = merge_insert(ix, batch)
+                ins.points.count()
+                ins.meta.count()  # metadata refresh is part of the cost (M2)
+                return ins
 
-    ins = timed("batch_insert_1pct", _do_insert, items=bn)
-    timed("batch_delete_1pct", lambda: merge_delete(ins, batch.select("key")).points.count(), items=bn)
+            ins = timed("batch_insert_1pct", _do_insert, items=bn)
 
-    # 10% batch sweep (reference sweeps 0.01%..10%, summary_3inba.csv): the
-    # large-batch path must not broadcast the delete-key set
-    batch10 = (
-        ix.points.where(F.col("key") % 10 == 7)
-        .select("doc_id", "span_idx", (F.col("key") + 3_200_000_000).alias("key"), "x0", "x1")
-    ).persist()
-    bn10 = batch10.count()
+            def _do_delete(ins=ins):
+                dels = merge_delete(ins, batch.select("key"))
+                dels.points.count()
+                return dels
 
-    def _do_insert10():
-        ins10 = merge_insert(ix, batch10)
-        ins10.points.count()
-        ins10.meta.count()
-        return ins10
+            dels = timed("batch_delete_1pct", _do_delete, items=bn)
+            batch.unpersist()
+            _gc_release(dels, ins)
 
-    ins10 = timed("batch_insert_10pct", _do_insert10, items=bn10)
-    timed("batch_delete_10pct", lambda: merge_delete(ins10, batch10.select("key")).points.count(), items=bn10)
+            # 10% batch sweep (reference sweeps 0.01%..10%,
+            # summary_3inba.csv): the large-batch path must not broadcast
+            # the delete-key set
+            batch10 = (
+                ix.points.where(F.col("key") % 10 == 7)
+                .select("doc_id", "span_idx", (F.col("key") + 3_200_000_000).alias("key"), "x0", "x1")
+            ).persist()
+            bn10 = batch10.count()
+
+            def _do_insert10():
+                ins10 = merge_insert(ix, batch10)
+                ins10.points.count()
+                ins10.meta.count()
+                return ins10
+
+            ins10 = timed("batch_insert_10pct", _do_insert10, items=bn10)
+
+            def _do_delete10(ins10=ins10):
+                dels10 = merge_delete(ins10, batch10.select("key"))
+                dels10.points.count()
+                return dels10
+
+            dels10 = timed("batch_delete_10pct", _do_delete10, items=bn10)
+            batch10.unpersist()
+            _gc_release(dels10, ins10)
+
+        # end of this distribution's section: nothing downstream reads this
+        # index — drop every cached table before the next build
+        _gc_release(ix)
+        del ix
 
     # incremental-build step-ratio sweep (the reference sweeps {10,20,25,50}%
     # insertion steps, testFramework.h:209-254); per-ratio total build time.
@@ -226,7 +280,7 @@ def run_suite() -> dict:
         def _inc(steps=steps):
             from pkd_tree_spark.updates import merge_insert as _mi
 
-            inc = SpatialIndex.build(base_pts.where(F.col("key") % steps == 0), idx["uniform"].cfg)
+            inc = SpatialIndex.build(base_pts.where(F.col("key") % steps == 0), cfg_uniform)
             for s in range(1, steps):
                 inc = _mi(inc, base_pts.where(F.col("key") % steps == s), persist=False)
                 inc = SpatialIndex(  # truncate lineage per step (as U7/U8 do)

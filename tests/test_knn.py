@@ -87,3 +87,93 @@ def test_knn_offgrid_shell_still_terminates(spark):
     res = knn(idx, q, k=3, level=1, adaptive=False).toPandas()
     assert len(res) == 3
     assert res.sort_values("rn")["key"].tolist() == [4, 3, 2]
+
+
+# ---------------------------------------------------------------------------
+# round 5: large-meta Spark-side resolution, duplicate collapse, empty index
+# ---------------------------------------------------------------------------
+
+_RESCOLS = ["qid", "rn", "key", "span_idx", "dist2"]
+
+
+def _sorted(res) -> pd.DataFrame:
+    return res.toPandas().sort_values(["qid", "rn"]).reset_index(drop=True)[_RESCOLS]
+
+
+def test_knn_large_meta_fallback_no_points_explode(spark, cfg, index_uniform, points_uniform):
+    """When the meta exceeds the driver memo (META_MEMO_CELLS), kNN must
+    resolve shells via the meta-side join — NOT revert to the full points
+    explode (VERDICT r4 'What's wrong' #2). Coarse shells resolve to
+    lvl==-1 leaf rows, which take the no-generate leaf equi-join."""
+    from pkd_tree_spark.documents import load_points
+    from pkd_tree_spark.index import SpatialIndex
+
+    idx = SpatialIndex.build(load_points(spark, "/root/testdata/sf0.001", dims=2, dist="uniform"), cfg)
+    object.__setattr__(idx, "_meta_np", {"cells": None})  # memo refusal
+    assert idx.meta_np() is None
+    queries = FX.knn_fixtures(16, 2)
+    plans: list = []
+    got = _sorted(knn(idx, queries, k=10, level=4, adaptive=False, plan_log=plans))
+    want = _sorted(knn(index_uniform, queries, k=10, level=4, adaptive=False))
+    pd.testing.assert_frame_equal(got, want)
+    assert plans, "plan probe should capture at least one round"
+    for p in plans:
+        # every resolved shell cell is a leaf row (lvl==-1): the candidate
+        # join is the single-scan leaf equi-join, no points-side explode
+        assert set(p["lvl_counts"]) <= {-1}, p["lvl_counts"]
+
+
+def test_knn_large_meta_fallback_adaptive(spark, cfg, index_varden):
+    """Adaptive (mixed coarse/fine level) queries through the Spark-side
+    resolution path must match the memoized path exactly."""
+    from pkd_tree_spark.documents import load_points
+    from pkd_tree_spark.index import SpatialIndex
+
+    idx = SpatialIndex.build(load_points(spark, "/root/testdata/sf0.001", dims=2, dist="varden"), cfg)
+    object.__setattr__(idx, "_meta_np", {"cells": None})
+    queries = FX.knn_fixtures(16, 2)
+    got = _sorted(knn(idx, queries, k=10))
+    want = _sorted(knn(index_varden, queries, k=10))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_pruned_duplicate_collapse(spark, cfg):
+    """Dummy-leaf duplicate collapse (build_tree.hpp:183-186): on a
+    duplicate-heavy lattice the pruned candidate table must engage, shrink
+    the scan, and stay multiset-exact vs the raw path — including after a
+    cap upgrade (second call with larger k rebuilds the pruned table)."""
+    from pyspark.sql import functions as F
+    from pkd_tree_spark.documents import load_points
+    from pkd_tree_spark.index import SpatialIndex
+
+    pts = load_points(spark, "/root/testdata/sf0.001", dims=2, dist="uniform")
+    lattice = pts.select(
+        "doc_id", "span_idx", "key",
+        *[(F.col(f"x{j}") % 10 * 99_991).alias(f"x{j}") for j in range(2)],
+    )
+    idx = SpatialIndex.build(lattice, cfg)
+    raw = SpatialIndex.build(lattice, cfg)
+    object.__setattr__(raw, "_pruned", "refused")
+    queries = FX.knn_fixtures(16, 2)
+    got = _sorted(knn(idx, queries, k=10))
+    assert isinstance(idx._pruned, tuple), "pruned table should engage on the lattice"
+    n_full, n_pruned = idx.points.count(), idx._pruned[0].count()
+    assert n_pruned < n_full
+    pd.testing.assert_frame_equal(got, _sorted(knn(raw, queries, k=10)))
+    # cap upgrade: k=20 > PRUNE_CAP_MIN forces a rebuild with cap=20
+    got20 = _sorted(knn(idx, queries, k=20))
+    assert idx._pruned[1] >= 20
+    pd.testing.assert_frame_equal(got20, _sorted(knn(raw, queries, k=20)))
+
+
+def test_knn_empty_index_fine_level(spark, cfg):
+    """ADVICE r4 (knn.py:323): a query at level > index_level against an
+    EMPTY index must produce zero rows, not IndexError inside mapInPandas."""
+    from pyspark.sql import functions as F
+    from pkd_tree_spark.documents import load_points
+    from pkd_tree_spark.index import SpatialIndex
+
+    pts = load_points(spark, "/root/testdata/sf0.001", dims=2, dist="uniform")
+    empty = SpatialIndex.build(pts.where(F.lit(False)), cfg)
+    res = knn(empty, FX.knn_fixtures(4, 2), k=3, level=cfg.index_level + 2, adaptive=False)
+    assert res.count() == 0

@@ -1,0 +1,166 @@
+"""Regenerate BENCH/PLANS.md: physical-plan evidence for the headline
+operators on sf0.001 at local[8].
+
+Captures, per operator, the executed/optimized plan and a node-count
+summary (unique plan_ids for Exchange — cached lineage re-prints inflate
+raw text counts). Run from the repo root:
+
+    python tools/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+HEAD = """# Physical plans of the headline operators (sf0.001, local[8])
+
+Regenerated round 5 (tools/gen_plans.py). Checks per plan: join
+strategies, shuffle count (unique Exchange plan_ids), window-group-limit
+presence, and that `Generate` never sits above the points table in the
+query hot path (`BatchEvalPython`/`ArrowEval` = 0 in every JVM row path;
+the only Arrow stages are the declared mapInPandas/pandas_udf operators:
+kNN ring-cell generation + duplicate collapse, large-batch covers, media
+decode, ANN table keys, GEMM block dedup).
+"""
+
+NODE_RE = re.compile(
+    r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|"
+    r"WindowGroupLimit|Window|Generate|ArrowEvalPython|BatchEvalPython|MapInPandas|Sort|HashAggregate|"
+    r"ObjectHashAggregate)\b"
+)
+
+
+def op_counts(plan: str) -> dict:
+    counts: dict[str, int] = {}
+    for m in NODE_RE.finditer(plan):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    counts["Exchange(unique)"] = len(set(re.findall(r"Exchange[^\n]*plan_id=(\d+)", plan)))
+    return counts
+
+
+def trimmed(plan: str, max_lines: int = 45) -> str:
+    lines = [ln.rstrip() for ln in plan.splitlines()]
+    lines = [re.sub(r"#\d+L?", "", ln)[:110] for ln in lines if ln.strip()]
+    if len(lines) > max_lines:
+        lines = lines[:max_lines] + [f"... ({len(lines) - max_lines} more lines)"]
+    return "\n".join(lines)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from pkd_tree_spark import fixtures as FX
+    from pkd_tree_spark.config import EngineConfig
+    from pkd_tree_spark.documents import load_points
+    from pkd_tree_spark.index import SpatialIndex
+    from pkd_tree_spark.knn import knn
+    from pkd_tree_spark.ranges import range_count_boxes
+    from pkd_tree_spark.session import get_spark
+
+    spark = get_spark(app="gen-plans", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+    cfg = EngineConfig(dims=2, index_level=5, knn_level=4, partitions=8)
+
+    out = [HEAD]
+
+    def section(title: str, note: str, plan: str) -> None:
+        out.append(f"\n## {title}\n")
+        out.append(note + "\n")
+        out.append("`" + json.dumps(op_counts(plan)) + "`\n")
+        out.append("```\n" + trimmed(plan) + "\n```\n")
+
+    # --- build ---
+    pts = load_points(spark, sf, dims=2, dist="uniform")
+    ix = SpatialIndex.build(pts, cfg)
+    section(
+        "index build (points layout)",
+        "One rangepartitioning exchange (the counting-sort shuffle, "
+        "build_tree.hpp:83-121); JVM-only derivation upstream; staging "
+        "auto-gated OFF at this input size (index.py STAGE_INPUT_BYTES).",
+        ix.points._jdf.queryExecution().executedPlan().toString(),
+    )
+    ix.points.count()
+    ix.meta.count()
+
+    # --- range count (leaf-resolved) ---
+    boxes = FX.box_fixtures(64, 2)
+    rc = range_count_boxes(ix, boxes)
+    rc.collect()
+    section(
+        "range-count 64 boxes (leaf-resolved single-scan plan)",
+        "Boundary branch: covers resolve DRIVER-SIDE to occupied leaf "
+        "cells (resolve_covers_np) -> ONE broadcast equi-join on the "
+        "derived leaf column; NO Generate over the points; interior "
+        "branch is driver prefix sums (zero jobs). Morton-interval "
+        "pre-filter prunes cached batches.",
+        rc._jdf.queryExecution().executedPlan().toString(),
+    )
+
+    # --- kNN round-1 candidate join + window top-k ---
+    plans: list = []
+    res = knn(ix, FX.knn_fixtures(32, 2), k=10, plan_log=plans)
+    res.count()
+    cand_note = (
+        "Round-1 candidate join (optimized logical plan, via the knn "
+        "plan_log probe): shells leaf-resolved; lvl==-1 rows take the "
+        "no-generate leaf equi-join. lvl_counts per round: "
+        + json.dumps([p["lvl_counts"] for p in plans])
+    )
+    section("kNN round-1 candidate join", cand_note, plans[0]["plan"])
+
+    # Window top-k physical shape (reproduced standalone on the same
+    # schema the round uses — the in-loop plan is consumed by the round
+    # checkpoint and not directly printable):
+    from pyspark.sql import Window
+
+    df = ix.points.select(
+        (F.col("key") % 32).alias("qid"),
+        (F.col("x0") * F.col("x0")).alias("dist2"),
+        "key",
+        F.col("span_idx").cast("long").alias("span_idx"),
+    )
+    w = Window.partitionBy("qid").orderBy("dist2", "key", "span_idx")
+    topk = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .groupBy("qid")
+        .agg(F.collect_list(F.struct("dist2", "key", "span_idx")).alias("tk"))
+    )
+    topk.count()
+    section(
+        "kNN window top-k (bounded queue, nn_search_helpers.h:18-93)",
+        "row_number rank filter -> WindowGroupLimit(Partial) BELOW the "
+        "exchange: Tungsten map-side partial top-k, <= k rows per qid per "
+        "partition cross the shuffle; no per-entry object aggregation "
+        "(r4's collect_list ObjectHashAggregate — the 38.4M varden "
+        "bottleneck — is gone from the hot path).",
+        topk._jdf.queryExecution().executedPlan().toString(),
+    )
+
+    # --- ann_lsh ---
+    import os
+
+    if os.path.exists(f"{sf}/embeddings.parquet"):
+        from pkd_tree_spark.pipeline.similarity import ann_lsh
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        ann = ann_lsh(emb)
+        ann.count()
+        section(
+            "ann_lsh (bucketed MIPS)",
+            "One ArrowEval (the 8-table GEMM key UDF) on the corpus side; "
+            "probes expand the broadcast query side; corpus max-norm is "
+            "memoized per corpus (no per-call full-table aggregate after "
+            "the first).",
+            ann._jdf.queryExecution().executedPlan().toString(),
+        )
+
+    with open("BENCH/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote BENCH/PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
