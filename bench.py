@@ -104,9 +104,11 @@ def run_suite() -> dict:
 
     # RESIDENCY BOUND (r4 153.6M lesson: by the update section ~6 persisted
     # full-size tables were alive and 16-core runs GC-thrashed into negative
-    # scaling): the suite runs one distribution at a time, releases every
-    # cached table the moment its section ends, and nudges both GCs so the
-    # ContextCleaner actually drops the blocks before the next build.
+    # scaling): the suite runs one distribution at a time and releases every
+    # cached table the moment its section ends — SpatialIndex.release is
+    # BLOCKING, so the drop completes before the next timed section (an
+    # explicit System.gc() here measurably anti-scaled the following
+    # 16-core update sections and is deliberately absent).
     import gc as _gc
 
     def _gc_release(*indexes):
@@ -114,10 +116,6 @@ def run_suite() -> dict:
             if ix_ is not None:
                 ix_.release()
         _gc.collect()
-        try:
-            spark._jvm.System.gc()
-        except Exception:  # noqa: BLE001
-            pass
 
     n_points = 0
     cfg_uniform = None
@@ -136,12 +134,11 @@ def run_suite() -> dict:
             ix = SpatialIndex.build(pts, cfg)
             ix.points.count()  # force the shuffle + persist
             ix.meta.count()
-            if ix._staged is not None:
-                # the staged input served its purpose (sampling + shuffle);
-                # the persisted index is materialized, so drop the stage
-                # now instead of carrying a second full-size table through
-                # the query sections (lineage remains for fault recovery)
-                ix._staged.unpersist()
+            # the staged input served its purpose (sampling + shuffle);
+            # the persisted index is materialized, so drop the stage now
+            # instead of carrying a second full-size table through the
+            # query sections
+            ix.release_staged()
             return ix
 
         ix = timed(f"build_{dist}", _build)

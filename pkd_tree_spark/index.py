@@ -23,7 +23,7 @@ set is itself large.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -76,31 +76,51 @@ class SpatialIndex:
     cfg: EngineConfig
     _ladder: tuple[DataFrame, list[int]] | None = None
     _meta_np: dict | None = None
-    _staged: DataFrame | None = None
+    _staged_ids: list = field(default_factory=list)
     _pruned: object = None  # None | "refused" | (DataFrame, cap)
 
-    def release(self) -> None:
+    def release_staged(self) -> None:
+        """Drop the staged-build-input blocks (localCheckpoint RDDs,
+        tracked by id at build time). Safe once the index is materialized:
+        the staged table is read only by the build's sampling + shuffle
+        jobs. After this, an evicted-and-lost points block cannot recompute
+        through the (truncated) checkpoint lineage — the standard
+        localCheckpoint caveat, acceptable because persisted points fall
+        back to disk on eviction and executor loss on local[N] is fatal
+        anyway; a cluster deployment wanting stronger recovery keeps the
+        stage or uses reliable checkpoints."""
+        if not self._staged_ids:
+            return
+        try:
+            m = self.points.sparkSession.sparkContext._jsc.getPersistentRDDs()
+            for i in self._staged_ids:
+                r = m.get(int(i))
+                if r is not None:
+                    r.unpersist()
+        except Exception:  # noqa: BLE001 — release is best-effort
+            pass
+        object.__setattr__(self, "_staged_ids", [])
+
+    def release(self, blocking: bool = True) -> None:
         """Unpersist every cached artifact this index holds (points, meta,
         staged build input, pruned duplicate-collapsed table). Long bench /
         pipeline sessions call this between index generations so executor
         residency stays bounded by the LIVE index — the r4 153.6M study
-        held ~6 full-size tables by the update section and anti-scaled.
-        Driver-side memos (meta_np, ladder) die with the instance."""
+        held ~6 persisted full-size tables by the update section and
+        anti-scaled. Blocking by default so the block drop completes
+        OUTSIDE the next timed section. Driver-side memos (meta_np,
+        ladder) die with the instance."""
         for df in (self.points, self.meta):
             try:
-                df.unpersist()
+                df.unpersist(blocking=blocking)
             except Exception:  # noqa: BLE001 — release is best-effort
                 pass
         if isinstance(self._pruned, tuple):
             try:
-                self._pruned[0].unpersist()
+                self._pruned[0].unpersist(blocking=blocking)
             except Exception:  # noqa: BLE001
                 pass
-        if self._staged is not None:
-            try:
-                self._staged.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
+        self.release_staged()
 
     def meta_np(self) -> dict | None:
         """Driver-side snapshot of the (small) metadata table, memoized per
@@ -303,7 +323,7 @@ class SpatialIndex:
             # input build 7.2->15.1s): stage only when the estimated input
             # is big enough that re-deriving it is the larger cost
             stage_input = _plan_size_bytes(pts) > STAGE_INPUT_BYTES
-        staged = None
+        staged_ids: list = []
         if stage_input:
             # repartitionByRange evaluates its child TWICE — once for the
             # range-bound sampling pass, once for the shuffle. When the
@@ -312,11 +332,23 @@ class SpatialIndex:
             # at 38.4M, paid twice), staging the encoded rows once makes
             # the sampling pass a cheap re-read. The pick_pivots analog
             # (build_tree.hpp:48-70) samples an in-memory array for the
-            # same reason. persist (columnar cache), NOT localCheckpoint:
-            # releasable deterministically (release()), more compact, and
-            # the sampling job populates it as it runs.
-            pts = pts.persist()
-            staged = pts
+            # same reason. localCheckpoint, NOT DataFrame.persist: the
+            # columnar cache ENCODE costs ~50s at 38.4M on 4 cores
+            # (measured r5: 160s vs 109s varden build) while checkpoint
+            # blocks write at serialization speed. Releasability comes
+            # from tracking the checkpoint's persistent-RDD ids.
+            try:
+                jsc = pts.sparkSession.sparkContext._jsc
+                before = set(jsc.getPersistentRDDs().keySet().toArray())
+            except Exception:  # noqa: BLE001 — tracking is best-effort
+                jsc, before = None, set()
+            pts = pts.localCheckpoint(eager=True)
+            if jsc is not None:
+                try:
+                    after = set(jsc.getPersistentRDDs().keySet().toArray())
+                    staged_ids = sorted(int(i) for i in after - before)
+                except Exception:  # noqa: BLE001
+                    staged_ids = []
         # The one index-build shuffle (reference: the counting-sort partition,
         # build_tree.hpp:83-121). Range partitioning keeps cells contiguous
         # per partition -> parquet min/max stats on morton give file skipping.
@@ -333,7 +365,7 @@ class SpatialIndex:
         )
         if persist:
             meta = meta.persist()
-        return cls(points=pts, meta=meta, cfg=cfg, _staged=staged)
+        return cls(points=pts, meta=meta, cfg=cfg, _staged_ids=staged_ids)
 
     # -- introspection / invariants (validate() analog, validation.hpp:49-70)
     def validate(self) -> dict:
