@@ -342,7 +342,16 @@ class SpatialIndex:
                 before = set(jsc.getPersistentRDDs().keySet().toArray())
             except Exception:  # noqa: BLE001 — tracking is best-effort
                 jsc, before = None, set()
-            pts = pts.localCheckpoint(eager=True)
+            # DISK_ONLY: the stage is written once and read twice (range-
+            # bound sampling + shuffle), then released — on-heap blocks buy
+            # nothing and the write's allocation storm under a large -Xmx
+            # lets G1's young gen balloon (measured: the SAME 38.4M build is
+            # 34s on a 16g driver heap and 302s on 48g with on-heap blocks;
+            # DISK_ONLY is heap-size-invariant). On a real cluster this is
+            # executor-local disk, the same medium shuffle files use.
+            from pyspark.storagelevel import StorageLevel
+
+            pts = pts.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             if jsc is not None:
                 try:
                     after = set(jsc.getPersistentRDDs().keySet().toArray())
