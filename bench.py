@@ -147,6 +147,16 @@ def run_suite() -> dict:
             cfg_uniform = cfg
         thr[f"build_{dist}"] = round(n_points / times[f"build_{dist}"], 1)
 
+        # dummy-leaf duplicate collapse (build_tree.hpp:183-186): index
+        # state the reference constructs DURING build — timed as its own
+        # entry so neither build nor kNN absorbs the one-time pass. The
+        # suite's k is 10; the pruned cap (>=16) serves any k <= 16.
+        def _collapse(ix=ix):
+            p = ix.pruned_points(10)
+            return p.count() if p is not None else 0
+
+        timed(f"dedup_collapse_{dist}", _collapse, items=n_points)
+
         # batch 10-NN: in-distribution query sample of the input itself at
         # the reference's TRUE 1% ratio (batchQueryRatio=0.01,
         # testFramework.h:24) — the query set stays a DataFrame end-to-end,
