@@ -24,6 +24,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Point dimensionality. d=2 is the suite default; SPARK_GRAFT_DIMS=3 runs the
+# reference's headline dimension (script/data/build.csv, knn.csv are d=3) —
+# build/collapse/kNN/range-count only, so the d3 scaling row stays cheap.
+DIMS = int(os.environ.get("SPARK_GRAFT_DIMS", "2"))
 # Deterministic input replication: key' = key + replica*1e8 keeps coordinate
 # derivation intact while multiplying n. The per-round bench uses 1; the
 # --scaling study uses 16 (~10M points) so each core has real work — a
@@ -119,8 +123,12 @@ def run_suite() -> dict:
 
     n_points = 0
     cfg_uniform = None
+    xcols = [f"x{j}" for j in range(DIMS)]
+    # index_level per d: deepest level whose worst-case cell count stays
+    # inside the driver-memoizable skeleton (2^(d*L) <= META_MEMO_CELLS)
+    idx_level = {2: 7, 3: 6}.get(DIMS, max(1, 18 // DIMS))
     for dist in ("uniform", "varden"):
-        pts = load_points(spark, SF_DIR, dims=2, dist=dist, keys_df=keys_df)
+        pts = load_points(spark, SF_DIR, dims=DIMS, dist=dist, keys_df=keys_df)
         # Partition count is DATA-sized (~1.2M rows per range bucket) and
         # identical at every core count: the scaling study must vary only
         # parallelism, not the physical plan (mirrors scalability.sh keeping
@@ -128,7 +136,7 @@ def run_suite() -> dict:
         # stays ~100MB regardless of executor count.
         n_target = REPLICATE * 600_000
         parts = max(32, n_target // 1_200_000)
-        cfg = EngineConfig(dims=2, index_level=7, knn_level=6, partitions=parts)
+        cfg = EngineConfig(dims=DIMS, index_level=idx_level, knn_level=idx_level - 1, partitions=parts)
 
         def _build(pts=pts, cfg=cfg):
             ix = SpatialIndex.build(pts, cfg)
@@ -163,12 +171,12 @@ def run_suite() -> dict:
         # so there is no driver-side cap on query count
         qdf = (
             ix.points.where(F.col("key") % 100 == 3)
-            .select(F.col("key").alias("qid"), F.col("x0").alias("q0"), F.col("x1").alias("q1"))
+            .select(F.col("key").alias("qid"), *[F.col(f"x{j}").alias(f"q{j}") for j in range(DIMS)])
             .dropDuplicates(["qid"])
             .persist()
         )
         nq = qdf.count()
-        lvl = auto_knn_level(n_points, 2)
+        lvl = auto_knn_level(n_points, DIMS)
 
         def _knn_run(ix=ix, qdf=qdf, lvl=lvl):
             res, stats = knn(ix, qdf, k=10, level=lvl, return_stats=True)
@@ -198,7 +206,7 @@ def run_suite() -> dict:
         # range count: mixed-selectivity boxes (reference summary uses 10^4;
         # scaled-up input uses more boxes so parallel scan work dominates)
         boxes_n = int(os.environ.get("SPARK_GRAFT_RANGE_BOXES", "10000" if REPLICATE > 1 else "1000"))
-        boxes = FX.box_fixtures(boxes_n, 2)
+        boxes = FX.box_fixtures(boxes_n, DIMS)
         timed(
             f"range_count_{dist}",
             lambda ix=ix, boxes=boxes: range_count_boxes(ix, boxes).groupBy().agg(F.sum("cnt")).collect(),
@@ -207,8 +215,9 @@ def run_suite() -> dict:
         range_stats[dist] = range_cover_stats(ix, boxes)
 
         # selectivity brackets (reference query types 0/1/2,
-        # testFramework.h:114-131 — the '10^4 large boxes' row is type 2)
-        if dist == "uniform":
+        # testFramework.h:114-131 — the '10^4 large boxes' row is type 2).
+        # d!=2 runs keep to the headline ops (build/collapse/kNN/range).
+        if dist == "uniform" and DIMS == 2:
             for btype in (0, 1, 2):
                 bb = FX.box_fixtures_bracketed(boxes_n, 2, n_points, btype)
                 timed(
@@ -223,7 +232,7 @@ def run_suite() -> dict:
             # as its measurement lands
             batch = (
                 ix.points.where(F.col("key") % 100 == 7)
-                .select("doc_id", "span_idx", (F.col("key") + 3_000_000_000).alias("key"), "x0", "x1")
+                .select("doc_id", "span_idx", (F.col("key") + 3_000_000_000).alias("key"), *xcols)
             ).persist()
             bn = batch.count()
             # materialization (count) happens INSIDE timed(): merge_insert
@@ -236,9 +245,16 @@ def run_suite() -> dict:
 
             ins = timed("batch_insert_1pct", _do_insert, items=bn)
 
+            # delete measures the SAME contract as insert (points + meta
+            # materialized — r5 left the meta delta lazy and undercounted).
+            # exact_rows: the batch is the verbatim row multiset being
+            # removed (it was just inserted), the reference's batchDelete
+            # point-batch contract — meta delta aggregates the batch, and
+            # the broadcast anti-join streams the table with no shuffle.
             def _do_delete(ins=ins):
-                dels = merge_delete(ins, batch.select("key"))
+                dels = merge_delete(ins, batch, exact_rows=True)
                 dels.points.count()
+                dels.meta.count()
                 return dels
 
             dels = timed("batch_delete_1pct", _do_delete, items=bn)
@@ -250,7 +266,7 @@ def run_suite() -> dict:
             # the delete-key set
             batch10 = (
                 ix.points.where(F.col("key") % 10 == 7)
-                .select("doc_id", "span_idx", (F.col("key") + 3_200_000_000).alias("key"), "x0", "x1")
+                .select("doc_id", "span_idx", (F.col("key") + 3_200_000_000).alias("key"), *xcols)
             ).persist()
             bn10 = batch10.count()
 
@@ -262,9 +278,12 @@ def run_suite() -> dict:
 
             ins10 = timed("batch_insert_10pct", _do_insert10, items=bn10)
 
+            # 10% of 153.6M = 15.4M keys: past DELETE_BCAST_ROWS, so this
+            # exercises the shuffled-hash fallback (no 10^8-row sorts)
             def _do_delete10(ins10=ins10):
-                dels10 = merge_delete(ins10, batch10.select("key"))
+                dels10 = merge_delete(ins10, batch10, exact_rows=True)
                 dels10.points.count()
+                dels10.meta.count()
                 return dels10
 
             dels10 = timed("batch_delete_10pct", _do_delete10, items=bn10)
@@ -280,33 +299,39 @@ def run_suite() -> dict:
     # insertion steps, testFramework.h:209-254); per-ratio total build time.
     # Skipped in --scaling runs (REPLICATE>1): the scaling table tracks the
     # headline query ops, and the sweep would triple each level's wall time.
-    base_pts = load_points(spark, SF_DIR, dims=2, dist="uniform", keys_df=keys_df)
-    if REPLICATE == 1:
-        # stage the sweep's source once: every merge step filters base_pts,
-        # and an unstaged derived pipeline re-runs the span synthesis per
-        # step (1-2s x steps of pure derivation — the reference's
-        # incremental source is an in-memory array, testFramework.h:209)
-        base_pts = base_pts.localCheckpoint(eager=True)
-    for ratio in () if REPLICATE > 1 else (10, 20, 25, 50):
+    base_ids: list = []
+    base_pts = None
+    if DIMS == 2:
+        base_pts = load_points(spark, SF_DIR, dims=2, dist="uniform", keys_df=keys_df)
+        if REPLICATE == 1:
+            # stage the sweep's source once: every merge step filters base_pts,
+            # and an unstaged derived pipeline re-runs the span synthesis per
+            # step (1-2s x steps of pure derivation — the reference's
+            # incremental source is an in-memory array, testFramework.h:209).
+            # tracked: DataFrame.unpersist is a no-op on checkpoint-backed
+            # frames, so the release below goes through the RDD ids.
+            from pkd_tree_spark.index import release_rdd_ids, tracked_local_checkpoint
+
+            base_pts, base_ids = tracked_local_checkpoint(base_pts)
+    for ratio in () if (REPLICATE > 1 or DIMS != 2) else (10, 20, 25, 50):
         steps = 100 // ratio
 
         def _inc(steps=steps):
-            from pkd_tree_spark.updates import merge_insert as _mi
+            from pkd_tree_spark.updates import checkpoint_index, merge_insert as _mi
 
             inc = SpatialIndex.build(base_pts.where(F.col("key") % steps == 0), cfg_uniform)
             for s in range(1, steps):
                 prev = inc
                 merged = _mi(inc, base_pts.where(F.col("key") % steps == s), persist=False)
-                inc = SpatialIndex(  # truncate lineage per step (as U7/U8 do)
-                    points=merged.points.localCheckpoint(eager=True),
-                    meta=merged.meta.localCheckpoint(eager=True),
-                    cfg=merged.cfg,
-                )
-                # the new checkpoint is materialized — drop the superseded
-                # generation NOW (rebinding alone leaves each step's 600k-row
-                # checkpoint blocks alive until the async ContextCleaner gets
-                # to them; across the 4-ratio sweep that stacked ~20 resident
-                # tables and spiked in-suite timings 3x)
+                # truncate lineage per step (as U7/U8 do) with TRACKED
+                # checkpoint ids, then drop the superseded generation NOW:
+                # rebinding alone leaves each step's 600k-row checkpoint
+                # blocks to the async ContextCleaner (across the 4-ratio
+                # sweep that stacked ~20 resident tables and spiked later
+                # in-suite timings 3x), and r5's prev.release() was itself
+                # a silent no-op for generations >= 2 — checkpoint-backed
+                # frames never register with the CacheManager.
+                inc = checkpoint_index(merged)
                 prev.release()
             n = inc.points.count()
             inc.release()
@@ -314,13 +339,15 @@ def run_suite() -> dict:
 
         timed(f"incremental_build_r{ratio}", _inc, items=n_points)
 
-    if REPLICATE == 1:
-        base_pts.unpersist(blocking=True)
+    if base_ids:
+        from pkd_tree_spark.index import release_rdd_ids
+
+        release_rdd_ids(spark, base_ids)
 
     # ann_lsh recall vs the exact MIPS baseline (approximate operator: the
     # gate checks rows only, so a recall regression must surface HERE)
     ann_recall = None
-    if os.path.exists(f"{SF_DIR}/embeddings.parquet"):
+    if DIMS == 2 and os.path.exists(f"{SF_DIR}/embeddings.parquet"):
         # a real ann_lsh/topk_dot failure must propagate — a bare except here
         # once reported recall=null instead of surfacing regressions; only
         # the missing-table case (checked above) is a legitimate skip
@@ -346,6 +373,7 @@ def run_suite() -> dict:
         "n_points": int(n_points),
         "cpus": CPUS,
         "replicate": REPLICATE,
+        "dims": DIMS,
         "throughput": thr,
         "knn_stats": knn_stats,
         "range_stats": range_stats,

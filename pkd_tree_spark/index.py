@@ -27,13 +27,13 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .config import EngineConfig, DEFAULT_CONFIG
 from .zorder import morton_col, morton_decode_np, cell_col
 
-__all__ = ["SpatialIndex", "cover_regions", "morton_interval_pred"]
+__all__ = ["SpatialIndex", "cover_regions", "morton_interval_pred", "tracked_local_checkpoint"]
 
 # meta tables up to this many cells are collected to the driver once per
 # index generation and reused by every query batch (leaf resolution,
@@ -91,14 +91,7 @@ class SpatialIndex:
         stage or uses reliable checkpoints."""
         if not self._staged_ids:
             return
-        try:
-            m = self.points.sparkSession.sparkContext._jsc.getPersistentRDDs()
-            for i in self._staged_ids:
-                r = m.get(int(i))
-                if r is not None:
-                    r.unpersist()
-        except Exception:  # noqa: BLE001 — release is best-effort
-            pass
+        release_rdd_ids(self.points.sparkSession, self._staged_ids)
         object.__setattr__(self, "_staged_ids", [])
 
     def release(self, blocking: bool = True) -> None:
@@ -139,7 +132,7 @@ class SpatialIndex:
         d = self.cfg.dims
         n_cells = self.meta.count()
         if n_cells > META_MEMO_CELLS:
-            object.__setattr__(self, "_meta_np", {"cells": None})
+            object.__setattr__(self, "_meta_np", {"cells": None, "n_cells": n_cells})
             return None
         rows = self.meta.collect()
         cells = np.array([r["cell"] for r in rows], dtype=np.int64)
@@ -159,10 +152,22 @@ class SpatialIndex:
             "cum": np.concatenate([[0], np.cumsum(cnt)]),
             "mn": mn,
             "mx": mx,
+            "n_cells": n_cells,
         }
         # frozen=False dataclass: plain assignment; keep setattr uniform
         object.__setattr__(self, "_meta_np", memo)
         return memo
+
+    def meta_n_cells(self) -> int:
+        """Skeleton row count (memoized with meta_np — shared by the
+        broadcast gates in the Spark-side resolution paths)."""
+        if self._meta_np is None:
+            self.meta_np()
+        n = self._meta_np.get("n_cells")
+        if n is None:  # memo injected without a count (tests force refusal)
+            n = self.meta.count()
+            self._meta_np["n_cells"] = n
+        return int(n)
 
     def pruned_points(self, k: int) -> DataFrame | None:
         """Duplicate-position-collapsed candidate table for kNN — the
@@ -181,16 +186,28 @@ class SpatialIndex:
         volume by the duplication factor.
 
         Built lazily as INDEX STATE (memoized; rebuilt only if a later
-        call needs a larger cap): points are morton-sorted within range
-        partitions, so equal positions are partition-local and adjacent —
-        the collapse is ONE mapInPandas pass with NO shuffle. If a merged
-        (post-update) index isn't perfectly co-partitioned the collapse
-        simply keeps up to cap rows per (position, partition): still a
-        superset of every possible top-k, never a correctness loss.
+        call needs a larger cap) as ONE JVM window pass — NO Python/Arrow:
+        a ``row_number() <= cap`` filter over a per-position window lets
+        Spark insert WindowGroupLimit(Partial) BELOW the exchange (the
+        same Tungsten map-side partial top-k the kNN result path uses),
+        and because the points are morton-sorted within range partitions
+        every duplicate group is partition-LOCAL — the partial limit
+        already reduces each position to <= cap rows, so only the pruned
+        rows (distinct positions x <= cap) ever cross the shuffle. The r5
+        mapInPandas variant pd.concat'ed every Arrow batch per task
+        (2x peak memory) and anti-scaled at 38.4M (29.4s @4c -> 32.4s
+        @16c); the window form is whole-stage-codegen JVM work. The small
+        collapsed output is then re-range-partitioned/sorted on morton so
+        cached-batch min/max skipping keeps working on the pruned table,
+        and the rank is now GLOBAL per position (exact min(cap, mult)
+        even on post-update indexes that aren't perfectly co-partitioned).
 
         Returns None (memoizing the refusal) when duplication is too low
-        to pay for the pass (estimated with one narrow
-        approx_count_distinct scan) or when k exceeds a practical cap."""
+        to pay for the pass — proven free from the metadata alone when
+        possible (dup factor <= points/occupied-cells, since every
+        occupied cell holds >= 1 distinct position), else estimated with
+        one narrow approx_count_distinct scan — or when k exceeds a
+        practical cap."""
         if self._pruned == "refused" or k > 4096:
             return None
         cap = max(PRUNE_CAP_MIN, k)
@@ -200,43 +217,31 @@ class SpatialIndex:
                 return df
         d = self.cfg.dims
         xcols = [f"x{j}" for j in range(d)]
-        tot = self.meta.agg(F.sum("cnt").alias("s")).collect()[0]["s"] or 0
+        s = self.meta.agg(F.sum("cnt").alias("s"), F.count(F.lit(1)).alias("m")).collect()[0]
+        tot, n_cells = s["s"] or 0, s["m"] or 0
         if self._pruned is None:
+            if tot == 0 or tot / max(1, n_cells) < PRUNE_MIN_DUP_FACTOR:
+                # zero-scan refusal: dup factor is bounded by cells' mean
+                # occupancy — no probe pass at all (the sf0.1 varden drift)
+                object.__setattr__(self, "_pruned", "refused")
+                return None
             apx = self.points.agg(
                 F.approx_count_distinct(F.xxhash64(*xcols)).alias("a")
             ).collect()[0]["a"] or 0
-            if tot == 0 or tot / max(1, apx) < PRUNE_MIN_DUP_FACTOR:
+            if tot / max(1, apx) < PRUNE_MIN_DUP_FACTOR:
                 object.__setattr__(self, "_pruned", "refused")
                 return None
         cols = ["key", "span_idx", *xcols, "morton"]
         narrow = self.points.select(*cols)
-
-        def gen(batches):
-            chunks = [pdf for pdf in batches if len(pdf)]
-            if not chunks:
-                return
-            # one frame per partition: equal positions may straddle Arrow
-            # batch boundaries, never partition boundaries
-            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            coords = [pdf[c].to_numpy(dtype=np.int64) for c in xcols]
-            key = pdf["key"].to_numpy(dtype=np.int64)
-            span = pdf["span_idx"].to_numpy(dtype=np.int64)
-            # lexsort: last key is primary -> order (x0..xd, key, span_idx)
-            order = np.lexsort((span, key) + tuple(coords[::-1]))
-            n = len(order)
-            newg = np.ones(n, dtype=bool)
-            if n > 1:
-                same = np.ones(n - 1, dtype=bool)
-                for c in coords:
-                    cs = c[order]
-                    same &= cs[1:] == cs[:-1]
-                newg[1:] = ~same
-            gid = np.cumsum(newg) - 1
-            rank = np.arange(n) - np.flatnonzero(newg)[gid]
-            sel = np.sort(order[rank < cap])  # keep the input (morton) order
-            yield pdf.iloc[sel]
-
-        pruned = narrow.mapInPandas(gen, schema=narrow.schema).persist()
+        w = Window.partitionBy(*xcols).orderBy("key", "span_idx")
+        pruned = (
+            narrow.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= cap)
+            .drop("rn")
+            .repartitionByRange(self.cfg.partitions, "morton")
+            .sortWithinPartitions("morton")
+            .persist()
+        )
         n_pruned = pruned.count()
         if n_pruned > PRUNE_KEEP_RATIO * tot:
             # duplication exists but is spread thin (multiplicities below
@@ -336,12 +341,10 @@ class SpatialIndex:
             # columnar cache ENCODE costs ~50s at 38.4M on 4 cores
             # (measured r5: 160s vs 109s varden build) while checkpoint
             # blocks write at serialization speed. Releasability comes
-            # from tracking the checkpoint's persistent-RDD ids.
-            try:
-                jsc = pts.sparkSession.sparkContext._jsc
-                before = set(jsc.getPersistentRDDs().keySet().toArray())
-            except Exception:  # noqa: BLE001 — tracking is best-effort
-                jsc, before = None, set()
+            # from the checkpoint's persistent-RDD id, read directly off
+            # the returned frame (never a global getPersistentRDDs diff,
+            # which would capture unrelated concurrent jobs' caches and
+            # later force-unpersist them).
             # DISK_ONLY: the stage is written once and read twice (range-
             # bound sampling + shuffle), then released — on-heap blocks buy
             # nothing and the write's allocation storm under a large -Xmx
@@ -351,13 +354,7 @@ class SpatialIndex:
             # executor-local disk, the same medium shuffle files use.
             from pyspark.storagelevel import StorageLevel
 
-            pts = pts.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-            if jsc is not None:
-                try:
-                    after = set(jsc.getPersistentRDDs().keySet().toArray())
-                    staged_ids = sorted(int(i) for i in after - before)
-                except Exception:  # noqa: BLE001
-                    staged_ids = []
+            pts, staged_ids = tracked_local_checkpoint(pts, StorageLevel.DISK_ONLY)
         # The one index-build shuffle (reference: the counting-sort partition,
         # build_tree.hpp:83-121). Range partitioning keeps cells contiguous
         # per partition -> parquet min/max stats on morton give file skipping.
@@ -401,6 +398,39 @@ class SpatialIndex:
             "bbox_violations": viol,
             "bbox_checked": viol is not None,
         }
+
+
+def release_rdd_ids(spark, ids) -> None:
+    """Unpersist persisted RDDs by id (checkpoint-backed blocks that
+    DataFrame.unpersist cannot reach). Best-effort."""
+    try:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            r = m.get(int(i))
+            if r is not None:
+                r.unpersist()
+    except Exception:  # noqa: BLE001 — release is best-effort
+        pass
+
+
+def tracked_local_checkpoint(df: DataFrame, storage_level=None) -> tuple[DataFrame, list[int]]:
+    """Eager localCheckpoint whose persisted RDD id is read DIRECTLY off the
+    returned frame (its analyzed plan is a LogicalRDD wrapping the
+    checkpointed — and persisted — RDD), so callers can unpersist the blocks
+    deterministically. DataFrame.unpersist() is a no-op for checkpoint-backed
+    frames (the CacheManager never registered them; only the async
+    ContextCleaner frees them), which silently leaked a full generation per
+    step in iterative loops (U7/U8/bench sweeps). No global
+    getPersistentRDDs diff — concurrent jobs' caches are never captured."""
+    if storage_level is not None:
+        ck = df.localCheckpoint(eager=True, storageLevel=storage_level)
+    else:
+        ck = df.localCheckpoint(eager=True)
+    try:
+        ids = [int(ck._jdf.queryExecution().analyzed().rdd().id())]
+    except Exception:  # noqa: BLE001 — tracking is best-effort
+        ids = []
+    return ck, ids
 
 
 def _plan_size_bytes(df: DataFrame) -> int:

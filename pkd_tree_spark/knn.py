@@ -367,10 +367,16 @@ def _resolve_cells_spark(index, cells: DataFrame, d: int, L: int) -> DataFrame:
     Fine cells (lvl > L) survive as (qid, lvl, cell) only if their leaf
     ancestor is occupied (exact emptiness proof — same check as the
     memoized path minus the bbox refinement, which is an optimization
-    only). The meta side explodes, never the points side."""
+    only). The meta side explodes, never the points side; its broadcast
+    is ROW-GATED (this path only engages when the meta already exceeds
+    the driver memo, so the exploded meta can reach 10^7+ rows — an
+    unconditional broadcast is exactly wrong here; oversized metas take
+    a shuffled join of the two small-ish sides instead)."""
     lvls = sorted(
         int(r["lvl"]) for r in cells.select("lvl").distinct().collect()
     )
+    n_meta = index.meta_n_cells()
+    meta_bcast_rows = BROADCAST_BYTES // 24
     coarse = [l for l in lvls if 0 <= l <= L]
     parts: list[DataFrame] = []
     if coarse:
@@ -384,9 +390,11 @@ def _resolve_cells_spark(index, cells: DataFrame, d: int, L: int) -> DataFrame:
                 "cell", F.expr(f"shiftrightunsigned(leaf, CAST({d} * ({L} - lvl) AS INT))")
             )
         )
+        if n_meta * len(coarse) <= meta_bcast_rows:
+            m = F.broadcast(m)
         parts.append(
             cells.where(F.col("lvl").isin(coarse))
-            .join(F.broadcast(m), ["lvl", "cell"])
+            .join(m, ["lvl", "cell"])
             .select("qid", F.lit(-1).cast("int").alias("lvl"), F.col("leaf").alias("cell"))
         )
     if any(l > L for l in lvls):
@@ -394,8 +402,10 @@ def _resolve_cells_spark(index, cells: DataFrame, d: int, L: int) -> DataFrame:
             "anc", F.expr(f"shiftrightunsigned(cell, CAST({d} * (lvl - {L}) AS INT))")
         )
         occ = index.meta.select(F.col("cell").alias("anc"))
+        if n_meta <= meta_bcast_rows:
+            occ = F.broadcast(occ)
         parts.append(
-            fine.join(F.broadcast(occ), "anc", "leftsemi").select("qid", "lvl", "cell")
+            fine.join(occ, "anc", "leftsemi").select("qid", "lvl", "cell")
         )
     if not parts:
         return cells.where(F.lit(False))
@@ -542,14 +552,6 @@ def knn(
                 raw_cells = cells.persist()
                 cells = _resolve_cells_spark(index, raw_cells, d, L)
             cells = cells.persist()
-            lvl_counts = {
-                int(r2["lvl"]): int(r2["n"])
-                for r2 in cells.groupBy("lvl").agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-            n_cells = sum(lvl_counts.values())
-            n_coarse = lvl_counts.get(-1, 0)
-            fine_levels = sorted(l for l in lvl_counts if l >= 0)
-
             # Per-LEVEL scan pruning: collect each level's DISTINCT leaf
             # ancestors (bounded by the skeleton size, never the shell-cell
             # count) and, where a level's leaves hold a minority of the
@@ -561,24 +563,43 @@ def knn(
             # leaves span most of the table share one full explode scan.
             # Straggler rounds >= 2 prune everything the same way. r3
             # instead exploded ALL n rows over EVERY distinct level.
+            # ONE driver action serves both the per-level shell-cell
+            # counts and the leaf sets: group by (lvl, leaf-ancestor) —
+            # bounded by skeleton x levels, never by shell-cell count —
+            # and sum the counts per lvl on the driver (r5 ran a second
+            # full distinct+collect over the shell table every round).
             per_level_leaves: dict[int, np.ndarray] | None = None
-            if mnp is not None and n_cells:
+            lvl_counts: dict[int, int] = {}
+            grouped = None
+            if mnp is not None:
                 anc = F.when(F.col("lvl") < 0, F.col("cell")).otherwise(
                     F.expr(f"shiftrightunsigned(cell, CAST({d} * (lvl - {L}) AS INT))")
                 )
-                rows = (
-                    cells.select("lvl", anc.alias("leaf"))
-                    .distinct()
+                grouped = (
+                    cells.groupBy("lvl", anc.alias("leaf"))
+                    .agg(F.count(F.lit(1)).alias("n"))
                     .limit(LEAF_COLLECT_CAP + 1)
                     .collect()
                 )
-                if len(rows) <= LEAF_COLLECT_CAP:
-                    per_level_leaves = {}
-                    for r2 in rows:
-                        per_level_leaves.setdefault(int(r2["lvl"]), []).append(r2["leaf"])
+                if len(grouped) <= LEAF_COLLECT_CAP:
+                    acc: dict[int, list] = {}
+                    for r2 in grouped:
+                        lv = int(r2["lvl"])
+                        lvl_counts[lv] = lvl_counts.get(lv, 0) + int(r2["n"])
+                        acc.setdefault(lv, []).append(r2["leaf"])
                     per_level_leaves = {
-                        lv: np.array(ls, dtype=np.int64) for lv, ls in per_level_leaves.items()
+                        lv: np.array(ls, dtype=np.int64) for lv, ls in acc.items()
                     }
+                else:
+                    grouped = None  # overflow: fall through to the lvl-only agg
+            if grouped is None:
+                lvl_counts = {
+                    int(r2["lvl"]): int(r2["n"])
+                    for r2 in cells.groupBy("lvl").agg(F.count(F.lit(1)).alias("n")).collect()
+                }
+            n_cells = sum(lvl_counts.values())
+            n_coarse = lvl_counts.get(-1, 0)
+            fine_levels = sorted(l for l in lvl_counts if l >= 0)
 
             def _covered_frac(leaves: np.ndarray) -> float:
                 i = np.searchsorted(mnp["cells"], np.unique(leaves))

@@ -70,16 +70,21 @@ def lsh_bucket_col(qv_col, n_planes: int = 8, plane_offset: int = 0):
     return bucket
 
 
-# corpus max-norm memo keyed by the quantized plan's semantic hash: the
+# corpus max-norm memo keyed by the quantized plan's semantic hash PLUS a
+# cheap data fingerprint (the sorted input-file listing — no Spark job): the
 # augmentation constant is corpus state (like the quantized table itself),
 # not per-call work — r4 re-ran the full-corpus max aggregate every ann_lsh
-# call. Bounded: the cache only ever holds a handful of corpora.
-_M2_CACHE: dict[int, int] = {}
+# call. The semantic hash alone is PLAN-level: a parquet path that gains
+# files within a session (or two colliding plans) would silently reuse a
+# stale m2 and shift the MIPS augmentation. Non-file sources (in-memory
+# frames) fingerprint as the empty listing — those plans differ per corpus
+# anyway. Bounded: the cache only ever holds a handful of corpora.
+_M2_CACHE: dict[tuple, int] = {}
 
 
 def _corpus_max_norm(base: DataFrame) -> int:
     try:
-        h = base.semanticHash()
+        h = (base.semanticHash(), tuple(sorted(base.inputFiles())))
     except Exception:  # noqa: BLE001 — hash unavailable: compute uncached
         h = None
     if h is not None and h in _M2_CACHE:

@@ -247,8 +247,8 @@ def _interior_counts(index: SpatialIndex, covers) -> DataFrame | None:
         return None
     levels = _slice_levels(covers, cdf)
     m = _with_lvl_cell(index.meta.select("cell", "cnt"), "cell", levels, d, L).select("lvl", "c", "cnt")
-    if not isinstance(covers, pd.DataFrame):
-        m = F.broadcast(m)  # meta is ~n/leaf_target rows; covers may be huge
+    if not isinstance(covers, pd.DataFrame) and index.meta_n_cells() * max(1, len(levels)) <= RESOLVED_BCAST_ROWS:
+        m = F.broadcast(m)  # covers may be huge; meta side gated by rows
     return m.join(cdf, ["lvl", "c"]).groupBy("qid").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -318,7 +318,13 @@ def _boundary_candidates(
     m = _with_lvl_cell(index.meta.select("cell"), "cell", levels, d, L).select(
         "lvl", "c", F.col("cell").alias("leaf")
     )
-    resolved = cdf.join(F.broadcast(m), ["lvl", "c"]).select("qid", "leaf", "interior")
+    # meta-side broadcast gated on rows (meta x levels): a meta past the
+    # driver memo can reach 10^7+ exploded rows — broadcasting it is the
+    # OOM-shaped mistake, and the two sides are then best left to a
+    # shuffled join (both are far smaller than the points table)
+    if index.meta_n_cells() * max(1, len(levels)) <= RESOLVED_BCAST_ROWS:
+        m = F.broadcast(m)
+    resolved = cdf.join(m, ["lvl", "c"]).select("qid", "leaf", "interior")
     # the resolved side is usually a few MB but can exceed AQE's broadcast
     # threshold (10k-box batches resolve to ~10^6 rows), which would fall
     # back to SHUFFLING the full points table on the leaf key — measure it

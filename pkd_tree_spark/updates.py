@@ -36,18 +36,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import EngineConfig, DEFAULT_CONFIG
-from .index import SpatialIndex
+from .index import SpatialIndex, release_rdd_ids, tracked_local_checkpoint
 from .zorder import cell_col, morton_col
 
 __all__ = [
     "merge_insert",
     "merge_delete",
+    "checkpoint_index",
     "check_skew",
     "retile",
     "sliding_window",
     "Checkpoint",
     "PersistentIndex",
 ]
+
+# Delete-key sets at or below this row count are broadcast to the anti-join
+# (build-side hash relation ~40B/row -> <=160MB at the cap: comfortably
+# inside a default executor heap), so the surviving-rows pass STREAMS the
+# points table with ZERO full-table shuffle — the r5 plan sort-merge-joined
+# all 153.6M rows on an unclustered key TWICE and cost 165s vs the matching
+# insert's 19.5s @16c. Larger batches fall back to a shuffled HASH join
+# (hint) — both sides exchange once but nobody sorts 10^8 rows.
+DELETE_BCAST_ROWS = 4_000_000
 
 
 def _with_morton(points_df: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -106,23 +116,73 @@ def merge_insert(index: SpatialIndex, new_points: DataFrame, persist: bool = Tru
     return SpatialIndex(points=pts, meta=meta, cfg=cfg)
 
 
-def merge_delete(index: SpatialIndex, delete_keys: DataFrame, persist: bool = True) -> SpatialIndex:
+def merge_delete(
+    index: SpatialIndex,
+    delete_keys: DataFrame,
+    persist: bool = True,
+    exact_rows: bool = False,
+) -> SpatialIndex:
     """U4/U5 batchDelete by (key) or (key, span_idx): MERGE ... WHEN MATCHED
     THEN DELETE == left_anti join. Partial cover (absent keys) is a no-op by
     construction — the reference's FullCovered/PartialCover split collapses
-    (batch_delete.hpp:93-107)."""
+    (batch_delete.hpp:93-107).
+
+    Scale shape: the (small, materialized-and-counted) key set is BROADCAST
+    to the anti-join when it fits (<= DELETE_BCAST_ROWS), so the surviving
+    rows are one streamed pass over the points — no full-table shuffle and
+    the range partitioning survives. Oversized batches use a shuffled hash
+    join (no 10^8-row sort). A delete fundamentally scans the table once
+    (keys aren't clustered); the reference pays the same full lookup pass,
+    just in shared memory (batch_delete.hpp:146-265).
+
+    ``exact_rows=True``: the caller warrants that ``delete_keys`` holds
+    EXACTLY the rows being removed, one per deleted point, with their
+    coordinate columns (x0..x{d-1}) — the reference's native batchDelete
+    contract, which takes points, not keys (batch_delete.hpp:59-76). The
+    per-cell metadata delta is then aggregated from the batch itself
+    (O(batch)), eliminating the left_semi "removed rows" pass entirely;
+    with a broadcast anti-join a 1% delete then costs ONE streamed pass
+    over the table plus an O(batch) aggregate. Use only when the batch is
+    known to match (e.g. deleting rows previously read from, or inserted
+    into, this index); a stale batch would corrupt the per-cell counts."""
     cfg = index.cfg
     on = [c for c in ("key", "span_idx") if c in delete_keys.columns]
-    # No broadcast hint: a 10% delete of 10^9 rows is 10^8 keys — forcing a
-    # broadcast OOMs executors. AQE broadcasts small key sets on its own and
-    # falls back to a shuffle join for large batches.
-    keys = delete_keys.select(*on).distinct()
-    removed = index.points.join(keys, on, "left_semi")
-    pts = index.points.join(keys, on, "left_anti")
-    meta = _merge_meta(index.meta, _meta_of(removed, cfg), cfg, -1)
+    # materialize + count the key set once: the count gates the broadcast
+    # (a measured gate, not a guess — AQE's estimate of a derived batch can
+    # miss) and the checkpoint stops the batch pipeline re-running per join
+    keys, key_ids = tracked_local_checkpoint(delete_keys.select(*on).distinct())
+    nk = keys.count()
+    if nk <= DELETE_BCAST_ROWS:
+        keyside = F.broadcast(keys)
+        pts = index.points.join(keyside, on, "left_anti")
+    else:
+        keyside = keys.hint("shuffle_hash")
+        pts = index.points.join(keyside, on, "left_anti")
+    if exact_rows:
+        delta_src = _with_morton(
+            delete_keys.select(*on, *[f"x{j}" for j in range(cfg.dims)]), cfg
+        )
+    else:
+        delta_src = index.points.join(keyside, on, "left_semi")
+    meta = _merge_meta(index.meta, _meta_of(delta_src, cfg), cfg, -1)
     if persist:
         pts, meta = pts.persist(), meta.persist()
-    return SpatialIndex(points=pts, meta=meta, cfg=cfg)
+    out = SpatialIndex(points=pts, meta=meta, cfg=cfg, _staged_ids=key_ids)
+    return out
+
+
+def checkpoint_index(index: SpatialIndex) -> SpatialIndex:
+    """Truncate an index's lineage (iterative U7/U8 loops nest two joins per
+    step — planning time explodes without this) with the checkpointed RDD
+    ids TRACKED, so ``SpatialIndex.release()`` actually frees the blocks:
+    DataFrame.unpersist() is a silent no-op on checkpoint-backed frames
+    (only the CacheManager is consulted; checkpoint blocks are freed by the
+    async ContextCleaner, far too late for a loop that makes one generation
+    per step — measured: ~20 stacked generations across the bench sweep
+    spiked later in-suite timings 3x)."""
+    pts, ids_p = tracked_local_checkpoint(index.points)
+    meta, ids_m = tracked_local_checkpoint(index.meta)
+    return SpatialIndex(points=pts, meta=meta, cfg=index.cfg, _staged_ids=ids_p + ids_m)
 
 
 def check_skew(index: SpatialIndex) -> dict:
@@ -165,24 +225,36 @@ def sliding_window(
     """U8: per period t insert batch[t], delete batch[t-window_len]
     (sliding_window_len=5, testFramework.h:26). ``on_step(t, index)`` lets
     callers run probes (e.g. kNN) between steps as the harness does."""
-    key_cols = ["key", "span_idx"]
+    d = index.cfg.dims
+    row_cols = ["key", "span_idx", *[f"x{j}" for j in range(d)]]
+    cur, caller_index = index, index
     for t, batch in enumerate(period_batches):
-        index = merge_insert(index, batch, persist=False)
+        merged = merge_insert(cur, batch, persist=False)
         if t >= window_len:
-            index = merge_delete(index, period_batches[t - window_len].select(*key_cols), persist=False)
+            # the expiring batch IS the exact row multiset leaving the
+            # window (it entered verbatim window_len steps ago), so the
+            # meta delta aggregates the batch directly — no semi-join pass
+            merged = merge_delete(
+                merged,
+                period_batches[t - window_len].select(*row_cols),
+                persist=False,
+                exact_rows=True,
+            )
         # truncate lineage per period: without this the 2-joins-per-step
         # plan nests `len(period_batches)` deep and planning time explodes.
         # (Cluster deployments would use checkpoint() to reliable storage —
         # which is also the resumability story; localCheckpoint suffices
-        # for correctness/perf here.)
-        index = SpatialIndex(
-            points=index.points.localCheckpoint(eager=True),
-            meta=index.meta.localCheckpoint(eager=True),
-            cfg=index.cfg,
-        )
+        # for correctness/perf here.) Once the new generation is
+        # materialized, drop the delete-key stage and the SUPERSEDED
+        # generation's checkpoint blocks (never the caller's own index).
+        new = checkpoint_index(merged)
+        merged.release_staged()
+        if cur is not caller_index:
+            cur.release(blocking=False)
+        cur = new
         if on_step is not None:
-            on_step(t, index)
-    return index
+            on_step(t, cur)
+    return cur
 
 
 # ---------------------------------------------------------------------------
@@ -391,11 +463,80 @@ class PersistentIndex:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
+        self._refresh_meta_buckets(spark, touched, ckpt)
+
+    def merge_delete_cow(
+        self, spark: SparkSession, del_rows: DataFrame, ckpt: Checkpoint | None = None
+    ) -> dict:
+        """Copy-on-write DELETE: the batch carries the rows' COORDINATES
+        (the reference's native batchDelete contract — it deletes points,
+        batch_delete.hpp:59-76), so each row routes by Morton to its
+        pbucket and ONLY the touched buckets' files are rewritten (dynamic
+        partition overwrite); every other bucket's files are untouched
+        (pytest-verified via mtimes, like retile_hot). Within a bucket the
+        match is (key, span_idx) if present else key; batch rows matching
+        nothing are a no-op (PartialCover, batch_delete.hpp:93-107). A
+        fully-emptied bucket's partition directory is removed outright
+        (the thin-subtree collapse, inner_tree.hpp:109-148 tombstone
+        erase) — dynamic overwrite cannot express "replace with nothing".
+        Per-bucket lineage markers make a killed delete resumable; the
+        targeted meta refresh recomputes only touched buckets' cells.
+        At 100 TB a 1% delete thus rewrites ~1% of files, not the table —
+        the Iceberg MERGE ... WHEN MATCHED THEN DELETE copy-on-write
+        analog. Returns {buckets_touched, rows_deleted}."""
+        import shutil
+
+        cfg = self.cfg
+        ckpt = ckpt or Checkpoint(os.path.join(self.path, "_lineage_delete"))
+        on = [c for c in ("key", "span_idx") if c in del_rows.columns]
+        xcols = [f"x{j}" for j in range(cfg.dims)]
+        batch = _with_morton(del_rows.select(*on, *xcols), cfg).withColumn(
+            "pbucket", cell_col(F.col("morton"), cfg.dims, self.bucket_level, cfg.grid_bits)
+        )
+        touched = [r["pbucket"] for r in batch.select("pbucket").distinct().collect()]
+        existing = spark.read.parquet(self.points_path)
+        rows_deleted = 0
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for b in touched:
+                def _rewrite(b=b):
+                    keys_b = F.broadcast(batch.where(F.col("pbucket") == b).select(*on).distinct())
+                    old_part = existing.where(F.col("pbucket") == b)
+                    n_before = old_part.count()
+                    # snapshot survivors BEFORE overwriting the files being
+                    # read (read-modify-write safety, as merge_insert_cow)
+                    surv, ids = tracked_local_checkpoint(
+                        old_part.join(keys_b, on, "left_anti")
+                    )
+                    n_after = surv.count()
+                    if n_after:
+                        surv.sortWithinPartitions("morton").write.mode("overwrite").partitionBy(
+                            "pbucket"
+                        ).parquet(self.points_path)
+                    else:
+                        shutil.rmtree(
+                            os.path.join(self.points_path, f"pbucket={b}"), ignore_errors=True
+                        )
+                    release_rdd_ids(spark, ids)
+                    return {"bucket": int(b), "deleted": n_before - n_after}
+
+                rec = ckpt.run(f"delete_bucket_{b}", _rewrite)
+                rows_deleted += int(rec.get("deleted", 0))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        self._refresh_meta_buckets(spark, touched, ckpt)
+        return {"buckets_touched": len(touched), "rows_deleted": rows_deleted}
+
+    def _refresh_meta_buckets(self, spark: SparkSession, touched: list, ckpt: Checkpoint) -> None:
+        """Targeted metadata refresh shared by COW insert/delete (like
+        retile_hot's): recompute meta rows ONLY for the touched buckets'
+        cells (partition pruning keeps untouched buckets' files unread —
+        O(points in touched buckets), not O(n)); keep the rest as-is.
+        Exact bounds: deletes never leave conservative supersets here."""
+        cfg = self.cfg
+
         def _refresh_meta():
-            # targeted, like retile_hot's: recompute meta ONLY for the
-            # touched buckets' cells (partition pruning keeps untouched
-            # buckets' files unread — O(points in touched buckets), not
-            # O(n)) and keep the rest of the meta rows as-is
             d = cfg.dims
             shift = d * (cfg.index_level - self.bucket_level)
             fresh_pts = spark.read.parquet(self.points_path).where(

@@ -159,6 +159,12 @@ def test_knn_pruned_duplicate_collapse(spark, cfg):
     assert isinstance(idx._pruned, tuple), "pruned table should engage on the lattice"
     n_full, n_pruned = idx.points.count(), idx._pruned[0].count()
     assert n_pruned < n_full
+    # the collapse must be the JVM window form with the map-side partial
+    # top-cap (r5's Arrow pass pd.concat'ed whole partitions and
+    # anti-scaled); Partial = at most cap rows per position cross the
+    # exchange, since duplicate groups are partition-local after build
+    plan = idx._pruned[0]._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
     pd.testing.assert_frame_equal(got, _sorted(knn(raw, queries, k=10)))
     # cap upgrade: k=20 > PRUNE_CAP_MIN forces a rebuild with cap=20
     got20 = _sorted(knn(idx, queries, k=20))

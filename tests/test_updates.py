@@ -183,3 +183,107 @@ def test_cow_meta_refresh_reads_only_touched_buckets(
         meta_after.loc[touched_cells, "cnt"].sum()
         == meta_before.loc[[c for c in meta_before.index if (c >> shift) == 0], "cnt"].sum() + 10
     )
+
+
+def test_exact_rows_delete_matches_key_delete(spark, cfg, index_uniform, points_uniform):
+    """exact_rows=True (the reference's point-batch delete contract,
+    batch_delete.hpp:59-76) must produce the same index state as the
+    key-based path — points AND per-cell metadata — while skipping the
+    full-table semi-join."""
+    batch_pd = points_uniform.head(400).copy()
+    batch_pd["key"] = batch_pd["key"] + 91_000_000
+    batch_pd["doc_id"] = "ins_" + batch_pd["key"].astype(str)
+    batch = spark.createDataFrame(batch_pd)
+    ins = merge_insert(index_uniform, batch)
+
+    by_key = merge_delete(ins, batch.select("key"))
+    by_rows = merge_delete(ins, batch.select("key", "span_idx", "x0", "x1"), exact_rows=True)
+    vk, vr = by_key.validate(), by_rows.validate()
+    assert vr["n_points"] == vk["n_points"] == len(points_uniform)
+    assert vr["meta_sum"] == vr["n_points"]
+    mk = by_key.meta.toPandas().set_index("cell").sort_index()
+    mr = by_rows.meta.toPandas().set_index("cell").sort_index()
+    pd.testing.assert_frame_equal(mr, mk, check_like=True)
+    assert _counts(by_rows) == _box_oracle(points_uniform)
+
+
+def test_delete_broadcast_anti_join_no_points_shuffle(spark, cfg, index_uniform):
+    """The 1%-scale delete plan: the key set is broadcast, so the surviving
+    rows come from ONE streamed pass over the points — the plan must show a
+    broadcast LeftAnti and NO exchange on the points side (the r5 plan
+    sort-merge-shuffled the full table twice; 165s vs 19.5s insert @16c at
+    153.6M)."""
+    batch_pd = index_uniform.points.limit(300).select("key", "span_idx", "x0", "x1").toPandas()
+    dels = merge_delete(index_uniform, spark.createDataFrame(batch_pd), exact_rows=True, persist=False)
+    plan = dels.points._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cow_delete_rewrites_only_touched_buckets(tmp_path, spark, cfg, index_uniform, points_uniform):
+    """merge_delete_cow: only buckets containing batch points are
+    rewritten; cold buckets' files keep their mtimes; the surviving point
+    set and targeted meta refresh are exact (batch_delete.hpp:146-265 —
+    the reference rewrites only touched subtrees)."""
+    import os
+
+    p = PersistentIndex(path=str(tmp_path / "idx"), cfg=cfg)
+    p.write(index_uniform)
+    with_bucket = spark.read.parquet(p.points_path)
+    victims = with_bucket.where(F.col("pbucket") == 0).limit(50).select(
+        "key", "span_idx", "x0", "x1"
+    ).toPandas()
+    assert len(victims) == 50
+
+    def _file_mtimes():
+        out = {}
+        for root, _, files in os.walk(p.points_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    q = os.path.join(root, f)
+                    out[q] = os.path.getmtime(q)
+        return out
+
+    pre = _file_mtimes()
+    rep = p.merge_delete_cow(spark, spark.createDataFrame(victims))
+    post = _file_mtimes()
+    assert rep["buckets_touched"] == 1
+    # delete-by-key within the bucket: all spans of the victim keys go
+    vk = set(victims["key"])
+    expected = points_uniform[~points_uniform.key.isin(vk)]
+    cold = {f: t for f, t in pre.items() if "/pbucket=0/" not in f}
+    for f, t in cold.items():
+        assert post.get(f) == t, f"cold bucket file rewritten: {f}"
+    loaded = p.load(spark)
+    assert loaded.points.count() == len(expected)
+    v = loaded.validate()
+    assert v["meta_sum"] == v["n_points"]
+    assert _counts(loaded) == _box_oracle(expected)
+    # resumability: a second call with the same lineage is a no-op
+    rep2 = p.merge_delete_cow(spark, spark.createDataFrame(victims))
+    assert rep2["rows_deleted"] == 0 or rep2["rows_deleted"] == rep["rows_deleted"]
+
+
+def test_cow_delete_empties_bucket(tmp_path, spark, cfg, index_uniform, points_uniform):
+    """Deleting EVERY row of a bucket removes its partition directory (the
+    thin-subtree collapse / tombstone erase, inner_tree.hpp:109-148) and
+    drops its meta rows."""
+    import os
+
+    p = PersistentIndex(path=str(tmp_path / "idx2"), cfg=cfg)
+    p.write(index_uniform)
+    with_bucket = spark.read.parquet(p.points_path)
+    victims = with_bucket.where(F.col("pbucket") == 0).select(
+        "key", "span_idx", "x0", "x1"
+    ).toPandas()
+    assert len(victims) > 0
+    p.merge_delete_cow(spark, spark.createDataFrame(victims))
+    assert not os.path.exists(os.path.join(p.points_path, "pbucket=0"))
+    loaded = p.load(spark)
+    shift = cfg.dims * (cfg.index_level - p.bucket_level)
+    assert loaded.meta.where(F.shiftrightunsigned("cell", shift) == 0).count() == 0
+    vk = set(zip(victims["key"], victims["span_idx"]))
+    expected = points_uniform[
+        ~points_uniform.apply(lambda r: (r.key, r.span_idx) in vk, axis=1)
+    ]
+    assert loaded.points.count() == len(expected)
