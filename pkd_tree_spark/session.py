@@ -19,6 +19,12 @@ def get_spark(app: str = "pkd_tree_spark", cpus: int | None = None, shuffle_part
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # serialized RDD blocks (the DISK_ONLY staged build input) compress
+        # with lz4: the stage write was disk-bound — measured 2x on the
+        # whole 38.4M staged build at BOTH 4 and 16 cores (216->112s @4c,
+        # 81->39s @16c). Shuffle/broadcast compression is already on by
+        # default; this flag covers only storage-level-serialized blocks.
+        .config("spark.rdd.compress", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -15,13 +15,13 @@ import re
 
 HEAD = """# Physical plans of the headline operators (sf0.001, local[8])
 
-Regenerated round 5 (tools/gen_plans.py). Checks per plan: join
+Regenerated round 6 (tools/gen_plans.py). Checks per plan: join
 strategies, shuffle count (unique Exchange plan_ids), window-group-limit
 presence, and that `Generate` never sits above the points table in the
 query hot path (`BatchEvalPython`/`ArrowEval` = 0 in every JVM row path;
 the only Arrow stages are the declared mapInPandas/pandas_udf operators:
-kNN ring-cell generation + duplicate collapse, large-batch covers, media
-decode, ANN table keys, GEMM block dedup).
+kNN ring-cell generation, large-batch covers, media decode, ANN table
+keys, GEMM block dedup — the duplicate collapse is pure JVM as of r6).
 """
 
 NODE_RE = re.compile(
@@ -137,6 +137,44 @@ def main() -> None:
         "(r4's collect_list ObjectHashAggregate — the 38.4M varden "
         "bottleneck — is gone from the hot path).",
         topk._jdf.queryExecution().executedPlan().toString(),
+    )
+
+    # --- duplicate collapse (pruned_points window form) ---
+    lattice = pts.select(
+        "doc_id", "span_idx", "key",
+        *[(F.col(f"x{j}") % 10 * 99_991).alias(f"x{j}") for j in range(2)],
+    )
+    lix = SpatialIndex.build(lattice, cfg)
+    lix.points.count()
+    pruned = lix.pruned_points(10)
+    if pruned is not None:
+        section(
+            "duplicate collapse (dummy-leaf analog, build_tree.hpp:183-186)",
+            "JVM row_number window over the position columns: "
+            "WindowGroupLimit(Partial) keeps <= cap rows per position "
+            "map-side (duplicate groups are partition-local after the "
+            "morton sort), so only the collapsed rows cross the exchange; "
+            "a small rangepartitioning pass restores the morton layout "
+            "for cached-batch min/max skipping. r5's Arrow mapInPandas "
+            "pass (pd.concat per partition) is gone.",
+            pruned._jdf.queryExecution().executedPlan().toString(),
+        )
+    lix.release()
+
+    # --- batch delete (broadcast anti-join, no full-table shuffle) ---
+    from pkd_tree_spark.updates import merge_delete
+
+    bpd = ix.points.limit(256).select("key", "span_idx", "x0", "x1")
+    dels = merge_delete(ix, bpd, exact_rows=True, persist=False)
+    section(
+        "batch delete survivors (U4, batch_delete.hpp:59-76 point-batch)",
+        "Key set counted+broadcast -> BroadcastHashJoin LeftAnti streams "
+        "the points in ONE pass, zero full-table shuffle (r5 sort-merge-"
+        "shuffled all rows on key twice: 165s vs insert's 19.5s @16c at "
+        "153.6M). exact_rows: the meta delta aggregates the batch itself "
+        "— no left_semi pass. Oversized key sets (> DELETE_BCAST_ROWS) "
+        "fall back to a shuffled HASH join.",
+        dels.points._jdf.queryExecution().executedPlan().toString(),
     )
 
     # --- ann_lsh ---
