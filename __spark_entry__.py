@@ -191,6 +191,49 @@ def _q_count_polygon(dist: str):
     return fn
 
 
+def _q_count_box_deleted_rows(dist: str):
+    """U4 via the point-batch contract (batch_delete.hpp:59-76): delete the
+    EXACT rows read from the index with exact_rows=True — the meta delta
+    aggregates the batch (no semi-join) and the anti-join broadcasts, so a
+    metadata-delta bug here flips the interior counts the oracle checks."""
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _build(spark, sf_dir, dist)
+        idx = merge_insert(idx, _insert_batch(spark, sf_dir, dist))
+        rows = idx.points.where(F.col("key") % FX.DELETE_MOD == 0).select(
+            "key", "span_idx", *[f"x{j}" for j in range(D)]
+        )
+        idx = merge_delete(idx, rows, exact_rows=True)
+        return range_count_boxes(idx, FX.box_fixtures(NQ_BOX, D))
+    return fn
+
+
+def _q_count_box_cow_deleted(dist: str):
+    """COW delete roundtrip (batch_delete.hpp:146-265 rewrites only touched
+    subtrees): persist the index, merge_delete_cow every row of the corner
+    pbucket (exact rows read back from disk), reload, range count — the
+    oracle sees the corner box emptied; the targeted meta refresh and the
+    emptied-bucket directory removal are both on the checked path."""
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pkd_tree_spark.updates import PersistentIndex
+
+        idx = _build(spark, sf_dir, dist)
+        p = PersistentIndex(path=tempfile.mkdtemp(prefix="pkd_cow_"), cfg=idx.cfg)
+        p.write(idx)
+        corner = 1 << (idx.cfg.coord_bits - p.bucket_level)  # pbucket 0 box
+        pred = None
+        for j in range(D):
+            c = F.col(f"x{j}") < corner
+            pred = c if pred is None else pred & c
+        victims = p.load(spark).points.where(pred).select(
+            "key", "span_idx", *[f"x{j}" for j in range(D)]
+        ).localCheckpoint(eager=True)  # snapshot before the files are rewritten
+        p.merge_delete_cow(spark, victims)
+        return range_count_boxes(p.load(spark), FX.box_fixtures(NQ_BOX, D))
+    return fn
+
+
 def _q_knn(dist: str, state: str = "base", k: int = KNN_K):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = _updated_index(spark, sf_dir, dist, state)
@@ -332,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_knn_after_update": _q_knn("uniform", state="updated"),
         "spatial_range_count_box_inserted": _q_count_box("uniform", state="inserted"),
         "spatial_range_count_box_updated": _q_count_box("uniform", state="updated"),
+        "spatial_range_count_box_deleted_rows": _q_count_box_deleted_rows("uniform"),
+        "spatial_range_count_box_cow_deleted": _q_count_box_cow_deleted("uniform"),
         "spatial_sliding_window_cells": _q_sliding_window("uniform"),
         "spatial_sliding_window_time": _q_sliding_window_time,
         "spatial_range_count_box_d3": _q_count_box_dn("uniform", 3),
@@ -385,6 +430,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_knn_after_update": OR.knn_sql(NQ_KNN, KNN_K, D, "uniform", state="updated"),
         "spatial_range_count_box_inserted": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "inserted"),
         "spatial_range_count_box_updated": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "updated"),
+        "spatial_range_count_box_deleted_rows": OR.range_count_box_updated_sql(NQ_BOX, D, "uniform", "updated"),
+        "spatial_range_count_box_cow_deleted": OR.range_count_box_corner_deleted_sql(NQ_BOX, D, "uniform"),
         "spatial_sliding_window_cells": OR.sliding_window_cells_sql(WINDOW_LEVEL, WINDOW_LEN, D, "uniform"),
         "spatial_sliding_window_time": OR.sliding_window_time_cells_sql(WINDOW_LEVEL, WINDOW_LEN, D),
         "spatial_range_count_box_d3": OR.range_count_box_sql(NQ_BOX, 3, "uniform"),

@@ -304,6 +304,20 @@ def sliding_window_time_cells_sql(level: int, window_len: int, d: int = 2) -> st
     )
 
 
+def range_count_box_corner_deleted_sql(nq: int, d: int = 2, dist: str = "uniform", corner: int = 131_072) -> str:
+    """Range count after deleting every point in the corner box
+    [0, corner)^d — the oracle for the copy-on-write delete roundtrip
+    (the corner box is exactly pbucket 0 at bucket_level=3 with
+    grid_bits=20: top 3 bits of every grid coordinate zero)."""
+    pred = _box_pred(d)
+    corner_pred = " AND ".join(f"x{j} < {corner}" for j in range(d))
+    return (
+        f"WITH {pts_cte(dist, d)}, livepts AS (SELECT * FROM pts WHERE NOT ({corner_pred})), {box_cte(nq, d)} "
+        f"SELECT q.qid AS qid, CAST(count(p.key) AS BIGINT) AS cnt "
+        f"FROM q LEFT JOIN livepts p ON {pred} GROUP BY q.qid"
+    )
+
+
 def range_count_box_updated_sql(nq: int, d: int = 2, dist: str = "uniform", state: str = "inserted") -> str:
     """Range count after MERGE insert (and optional delete of k%7==0)."""
     pred = _box_pred(d)
