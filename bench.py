@@ -431,6 +431,7 @@ def run_scaling(base: int | None = None, mult: int = 4) -> dict:
         "scaling_efficiency": eff,
         "sf": results[base]["sf"],
         "n_points": results[base]["n_points"],
+        "dims": results[base].get("dims", 2),
         # V3 introspection at scale (ring rounds / candidate rows / cover
         # cells / ann recall) — the at-scale runs are exactly where these
         # diagnose efficiency, not just sf0.1
