@@ -287,3 +287,30 @@ def test_cow_delete_empties_bucket(tmp_path, spark, cfg, index_uniform, points_u
         ~points_uniform.apply(lambda r: (r.key, r.span_idx) in vk, axis=1)
     ]
     assert loaded.points.count() == len(expected)
+
+
+def test_checkpoint_index_release_frees_blocks(spark, cfg, index_uniform):
+    """ADVICE r5: DataFrame.unpersist is a silent no-op on checkpoint-backed
+    frames — checkpoint_index tracks the persisted RDD ids so release()
+    actually frees each superseded generation's blocks (iterative U7/U8
+    loops stack one generation per step otherwise)."""
+    from pkd_tree_spark.updates import checkpoint_index
+
+    jsc = spark.sparkContext._jsc
+
+    def n_persistent():
+        return len(jsc.getPersistentRDDs().keySet().toArray())
+
+    # materialize the fixture's own cache first: its cached RDDs register
+    # lazily and would otherwise be counted against gen1
+    index_uniform.points.count()
+    index_uniform.meta.count()
+    base = n_persistent()
+    gen1 = checkpoint_index(index_uniform)
+    assert n_persistent() == base + 2  # points + meta checkpoint blocks
+    gen2 = checkpoint_index(gen1)
+    assert n_persistent() == base + 4
+    gen1.release()
+    assert n_persistent() == base + 2  # gen1's blocks actually dropped
+    gen2.release()
+    assert n_persistent() == base
