@@ -231,6 +231,24 @@ class SpatialIndex:
             if tot / max(1, apx) < PRUNE_MIN_DUP_FACTOR:
                 object.__setattr__(self, "_pruned", "refused")
                 return None
+            # exact spread probe BEFORE building anything: one map-side-
+            # combined groupBy over the coordinate columns yields the exact
+            # collapsed size sum(min(mult, cap)). The shuffle carries only
+            # distinct positions per partition (tiny once duplication is
+            # real, which the ACD gate just established). The r6 path built
+            # the FULL window table, re-range-partitioned and persisted it,
+            # and only then discovered thin-spread duplication (the sf0.1
+            # duplicate-PAIR fixtures) and threw the table away — the probe
+            # makes refusal pay one narrow agg instead.
+            probe = (
+                self.points.groupBy(*xcols)
+                .agg(F.count(F.lit(1)).alias("m"))
+                .agg(F.sum(F.least(F.col("m"), F.lit(cap))).alias("np"))
+                .collect()[0]
+            )
+            if int(probe["np"] or 0) > PRUNE_KEEP_RATIO * tot:
+                object.__setattr__(self, "_pruned", "refused")
+                return None
         cols = ["key", "span_idx", *xcols, "morton"]
         narrow = self.points.select(*cols)
         w = Window.partitionBy(*xcols).orderBy("key", "span_idx")
@@ -242,14 +260,7 @@ class SpatialIndex:
             .sortWithinPartitions("morton")
             .persist()
         )
-        n_pruned = pruned.count()
-        if n_pruned > PRUNE_KEEP_RATIO * tot:
-            # duplication exists but is spread thin (multiplicities below
-            # the cap): the collapse bought nothing — drop the table and
-            # never retry on this index generation
-            pruned.unpersist()
-            object.__setattr__(self, "_pruned", "refused")
-            return None
+        pruned.count()
         if isinstance(self._pruned, tuple):  # cap upgrade: drop the old table
             try:
                 self._pruned[0].unpersist()

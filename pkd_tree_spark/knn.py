@@ -74,6 +74,9 @@ Queries in an empty index produce no result row and no stats row.
 from __future__ import annotations
 
 import math
+import os
+import sys
+import time as _time
 
 import numpy as np
 import pandas as pd
@@ -100,6 +103,26 @@ MESH_CAP_LOG2 = 18.0
 # skips cold regions in round 1 on skewed inputs and ~the whole table in
 # straggler rounds. Skipped if the distinct set somehow exceeds this cap.
 LEAF_COLLECT_CAP = 100_000
+# pending sets at or below this many queries generate + resolve their shell
+# cells ON THE DRIVER (one small Arrow collect, numpy resolution, local
+# relations broadcast without a job) instead of mapInPandas on executors:
+# the executor path costs a Python-worker round plus a separate
+# cells-distribution collect job per round, pure overhead at bench-query
+# counts (and every straggler round >= 2 is tiny). Large query batches
+# (the 1%-of-n harness at 38.4M+) keep the distributed path.
+DRIVER_CELLS_MAX_QUERIES = 20_000
+
+# phase profiler (diagnostic only): PKD_PROF=1 prints per-phase walls to
+# stderr — zero overhead when unset beyond a clock read per phase
+_PROF = os.environ.get("PKD_PROF") == "1"
+
+
+def _prof(label: str, t0: float) -> float:
+    t1 = _time.time()
+    if _PROF:
+        print(f"[knn-prof] {label}: {t1 - t0:.3f}s", file=sys.stderr, flush=True)
+    return t1
+
 
 RESULT_SCHEMA = "qid long, rn long, key long, doc_id string, span_idx long, dist2 long"
 STATS_SCHEMA = "qid long, rounds int, cand_rows long"
@@ -246,6 +269,71 @@ def _assign_levels(
     return out.select(
         *qdf.columns, F.coalesce(F.col("_lv"), fallback).cast("int").alias("level")
     )
+
+
+def _assign_levels_np(
+    index: SpatialIndex,
+    qpd: pd.DataFrame,
+    k: int,
+    level_floor: int,
+    level_cap: int,
+    target: int,
+) -> np.ndarray:
+    """Numpy twin of _assign_levels over the memoized meta — same rung
+    rule (min even rung whose 3^d-neighborhood estimate fits the target),
+    same closed-form deep level (density + OOD-gap clamp, snapped to the
+    even lattice), zero Spark jobs. Level choice never affects exactness
+    (the ring bound does); this port keeps the same choices so ring-round
+    behavior matches the distributed assignment."""
+    cfg = index.cfg
+    d, cb, L = cfg.dims, cfg.coord_bits, cfg.index_level
+    mnp = index.meta_np()
+    thresh = max(target, 3 * k)
+    neigh = 3 ** d
+    nq = len(qpd)
+    clampL = max(level_floor, min(level_cap, L))
+    cells = mnp["cells"]
+    if not len(cells):
+        return np.full(nq, clampL, dtype=np.int64)
+    cnt = np.diff(mnp["cum"]).astype(np.int64)
+    occupied = float(len(cells))
+    av = float(cnt.mean())
+    mx = float(cnt.max())
+    full_cells = float(1 << (d * L)) if d * L < 62 else float("inf")
+    if mx <= 4.0 * av and occupied >= 0.5 * full_cells:
+        lvl0 = L + int(round(math.log2(max(1.0, av * neigh / thresh)) / d))
+        return np.full(nq, max(level_floor, min(level_cap, lvl0)), dtype=np.int64)
+    q = np.stack([qpd[f"q{j}"].to_numpy(dtype=np.int64) for j in range(d)], axis=1)
+    rungs = [lvl for lvl in range(1, L + 1) if level_floor <= lvl <= level_cap and lvl % 2 == 0]
+    lv_pick = np.full(nq, -1, dtype=np.int64)
+    for lvl in rungs:  # ascending: the first qualifying rung is the min
+        pref = cells >> (d * (L - lvl))  # sorted (prefix of sorted keys)
+        upref, starts = np.unique(pref, return_index=True)
+        hsum = np.add.reduceat(cnt, starts)
+        home = morton_encode_np(q >> (cb - lvl), bits=lvl)
+        i = np.searchsorted(upref, home)
+        safe = np.minimum(i, len(upref) - 1)
+        hc = np.where((i < len(upref)) & (upref[safe] == home), hsum[safe], 0)
+        ok = (lv_pick < 0) & (hc * neigh <= thresh)
+        lv_pick[ok] = lvl
+    need = lv_pick < 0
+    if need.any():
+        qn = q[need]
+        homeL = morton_encode_np(qn >> (cb - L), bits=L)
+        i = np.searchsorted(cells, homeL)
+        safe = np.minimum(i, len(cells) - 1)
+        hit = (i < len(cells)) & (cells[safe] == homeL)
+        cntL = np.maximum(cnt[safe].astype(np.float64), 1.0)
+        mn, mxa = mnp["mn"][safe], mnp["mx"][safe]
+        bbox = (mxa - mn + 1).max(axis=1).astype(np.float64)
+        w_dens = bbox * (float(thresh) / cntL) ** (1.0 / d) / 3.0
+        lvl_dens = cb - np.floor(np.log2(np.maximum(w_dens, 1.0)))
+        gap = np.maximum(np.maximum(mn - qn, qn - mxa), 0).max(axis=1).astype(np.float64)
+        lvl_gap = cb - np.ceil(np.log2(np.maximum(gap, 1.0)))
+        raw = np.clip(np.minimum(lvl_dens, lvl_gap), level_floor, level_cap).astype(np.int64)
+        deep = np.maximum(raw - raw % 2, level_floor)
+        lv_pick[np.flatnonzero(need)] = np.where(hit, deep, clampL)
+    return lv_pick
 
 
 def _home_cell_expr(d: int, cb: int, lvl: int):
@@ -415,6 +503,371 @@ def _resolve_cells_spark(index, cells: DataFrame, d: int, L: int) -> DataFrame:
     return out
 
 
+# raw-collect cap for the driver-loop: rounds whose exact-from-metadata
+# candidate estimate exceeds this reduce per-query top-k in Spark (window
+# group limit) before collecting, instead of pulling raw candidates
+DRIVER_COLLECT_MAX_ROWS = 3_000_000
+
+
+def _mesh_parts_local(
+    spark,
+    cells_pdf: pd.DataFrame,
+    qcols: list[str],
+    pts_narrow: DataFrame,
+    d: int,
+    kb: int,
+    L: int,
+    mnp: dict,
+) -> tuple[list[DataFrame], dict[int, int]]:
+    """Candidate-join parts from DRIVER-resolved shell cells (small pending
+    sets). The cell relations are LOCAL (broadcast without an executor
+    exchange or a Spark job) and carry the query coordinates, so the
+    candidate join needs no separate qside join; per-level leaf sets and
+    counts come from pandas instead of a dedicated per-round collect job.
+    Scan pruning mirrors the distributed path: every minority level gets
+    its own Morton-interval-filtered scan of the points. ``cells_pdf``
+    columns: qid, lvl, cell, q0..q{d-1} (lvl == -1 rows are resolved
+    level-L leaves; lvl > L rows are fine cells)."""
+    if not len(cells_pdf):
+        return [], {}
+    leaf_shift = d * (kb - L)
+    cells_bcast_rows = BROADCAST_BYTES // (8 * (len(qcols) + 3))
+    qschema = ", ".join(f"{q} long" for q in qcols)
+    lvlv = cells_pdf["lvl"].to_numpy().astype(np.int64)
+    cellv = cells_pdf["cell"].to_numpy().astype(np.int64)
+    sh = np.where(lvlv > L, d * (lvlv - L), 0).astype(np.int64)
+    ancv = np.where(lvlv < 0, cellv, cellv >> sh)
+    uls, ucnts = np.unique(lvlv, return_counts=True)
+    lvl_counts = {int(lv): int(c) for lv, c in zip(uls, ucnts)}
+    per_level_leaves = {int(lv): np.unique(ancv[lvlv == lv]) for lv in uls}
+
+    def _covered_frac(leaves: np.ndarray) -> float:
+        i = np.searchsorted(mnp["cells"], np.unique(leaves))
+        total = int(mnp["cum"][-1])
+        return float((mnp["cum"][i + 1] - mnp["cum"][i]).sum()) / max(1, total)
+
+    def _local_cl(mask, rename: dict, cols: list[str], schema: str) -> DataFrame:
+        sub = cells_pdf.loc[mask]
+        if rename:
+            sub = sub.rename(columns=rename)
+        return spark.createDataFrame(sub[cols], schema=schema)
+
+    # AT MOST TWO parts — one coarse leaf equi-join, one consolidated
+    # fine-levels join (points interval-filtered by the UNION of all fine
+    # levels' leaves, then exploded over the levels present). Per-level
+    # scans would prune slightly tighter, but each extra part is a fresh
+    # WholeStageCodegen compile per round per call (literals are embedded,
+    # so Janino never caches across query sets) — measured ~2s of a 2.3s
+    # straggler round at sf0.1 was plan/compile overhead, not compute.
+    mesh_parts: list[DataFrame] = []
+    n_coarse = lvl_counts.get(-1, 0)
+    if n_coarse:
+        cl = _local_cl(
+            cells_pdf["lvl"] < 0, {"cell": "leaf"},
+            ["qid", "leaf", *qcols], f"qid long, leaf long, {qschema}",
+        )
+        if n_coarse <= cells_bcast_rows:
+            cl = F.broadcast(cl)
+        p = pts_narrow
+        leaves = per_level_leaves[-1]
+        if _covered_frac(leaves) <= 0.4:
+            pred = morton_interval_pred(leaves, leaf_shift)
+            if pred is not None:
+                p = p.where(pred)
+        p = p.withColumn("pcell", F.shiftrightunsigned("morton", leaf_shift))
+        mesh_parts.append(p.join(cl, F.col("pcell") == F.col("leaf")).drop("leaf", "morton"))
+    fine_levels = sorted(l for l in lvl_counts if l >= 0)
+    if fine_levels:
+        cl = _local_cl(
+            cells_pdf["lvl"].isin(fine_levels), {"lvl": "clvl"},
+            ["qid", "clvl", "cell", *qcols], f"qid long, clvl int, cell long, {qschema}",
+        )
+        if sum(lvl_counts[lv] for lv in fine_levels) <= cells_bcast_rows:
+            cl = F.broadcast(cl)
+        p = pts_narrow
+        all_leaves = np.unique(
+            np.concatenate([per_level_leaves[lv] for lv in fine_levels])
+        )
+        if _covered_frac(all_leaves) <= 0.4:
+            pred = morton_interval_pred(all_leaves, leaf_shift)
+            if pred is not None:
+                p = p.where(pred)
+        # foldable literal level array (codegen hoists it); the cell is
+        # column arithmetic AFTER the explode — an array-of-structs here
+        # allocates per ROW (GC-bound floor at 38.4M pts)
+        p = p.select(
+            "*",
+            F.explode(F.array(*[F.lit(int(lvl)).cast("int") for lvl in fine_levels])).alias("plvl"),
+        ).withColumn(
+            "pcell", F.expr(f"shiftrightunsigned(morton, CAST({d} * ({kb} - plvl) AS INT))")
+        )
+        mesh_parts.append(
+            p.join(
+                cl, (F.col("plvl") == F.col("clvl")) & (F.col("pcell") == F.col("cell"))
+            ).drop("clvl", "cell", "plvl", "morton")
+        )
+    return mesh_parts, lvl_counts
+
+
+def _cand_estimate(cells_pdf: pd.DataFrame, mnp: dict, d: int, cb: int, L: int) -> int:
+    """Estimated candidate rows under resolved shell cells, from the
+    memoized meta alone: EXACT leaf occupancy for coarse (lvl == -1) rows;
+    fine (lvl > L) rows take their ancestor's occupancy scaled by the
+    cell's share of the ancestor's occupied bbox (the same uniform-inside-
+    cluster model _assign_levels uses for level choice). The raw ancestor
+    bound was uselessly loose on skewed data — every fine cell under a hot
+    leaf charged the entire cluster, 150x over the true volume — and
+    pushed the driver loop into a needless count-then-reduce round."""
+    cells = mnp["cells"]
+    if not len(cells_pdf) or not len(cells):
+        return 0
+    lvlv = cells_pdf["lvl"].to_numpy().astype(np.int64)
+    cellv = cells_pdf["cell"].to_numpy().astype(np.int64)
+    sh = np.where(lvlv > L, d * (lvlv - L), 0).astype(np.int64)
+    anc = np.where(lvlv < 0, cellv, cellv >> sh)
+    i = np.searchsorted(cells, anc)
+    safe = np.minimum(i, len(cells) - 1)
+    hit = (i < len(cells)) & (cells[safe] == anc)
+    occ = np.where(hit, mnp["cum"][safe + 1] - mnp["cum"][safe], 0).astype(np.float64)
+    fine = lvlv > L
+    if fine.any():
+        vol = np.prod((mnp["mx"][safe] - mnp["mn"][safe] + 1).astype(np.float64), axis=1)
+        cell_vol = np.exp2(d * (cb - lvlv).astype(np.float64))
+        share = np.minimum(1.0, cell_vol / np.maximum(vol, 1.0))
+        occ = np.where(fine, occ * share, occ)
+    return int(occ.sum())
+
+
+def _knn_driver(
+    index: SpatialIndex,
+    st: pd.DataFrame,
+    k: int,
+    max_rounds: int,
+    return_stats: bool,
+    plan_log: list | None,
+):
+    """Small-batch kNN loop: shell resolution, top-k merge and ring
+    termination run ON THE DRIVER; Spark contributes exactly ONE
+    candidate-collection job per ring round (scan + local-relation
+    broadcast join + Arrow collect). Rounds whose metadata-estimated
+    candidate volume exceeds DRIVER_COLLECT_MAX_ROWS reduce per-query
+    top-k with the same WindowGroupLimit plan the distributed loop uses
+    before collecting, so the driver never holds more than ~pend*k rows
+    from such a round.
+
+    Semantics are identical to the distributed loop by construction: the
+    candidate multiset per round is the same join, the merge order is
+    (dist2, key, span_idx), and the termination rule is the same ring
+    lower bound ((r*w)^2 vs kth distance) plus the covered-mesh rule."""
+    spark = index.points.sparkSession
+    cfg: EngineConfig = index.cfg
+    d, kb, cb, L = cfg.dims, cfg.grid_bits, cfg.coord_bits, cfg.index_level
+    qcols = [f"q{j}" for j in range(d)]
+    xcols = [f"x{j}" for j in range(d)]
+    qschema = ", ".join(f"{q} long" for q in qcols)
+    mnp = index.meta_np()
+    total_pts = int(mnp["cum"][-1]) if len(mnp["cells"]) else 0
+
+    st = st.copy()
+    st["r"] = np.int64(1)
+    st["cnt"] = np.int64(0)
+    t0 = _time.time()
+
+    dist2 = None
+    for j in range(d):
+        t = (F.col(f"x{j}") - F.col(f"q{j}")) * (F.col(f"x{j}") - F.col(f"q{j}"))
+        dist2 = t if dist2 is None else dist2 + t
+    pts_base = index.pruned_points(k) or index.points
+    pts_narrow = pts_base.select("key", "span_idx", *xcols, "morton")
+
+    carried = pd.DataFrame(
+        {c: pd.Series(dtype="int64") for c in ("qid", "dist2", "key", "span_idx")}
+    )
+    res_frames: list[pd.DataFrame] = []
+    stats_frames: list[pd.DataFrame] = []
+
+    for rnd in range(1, max_rounds + 1):
+        if not len(st):
+            break
+        rv = st["r"].to_numpy(np.int64)
+        lv = st["level"].to_numpy(np.int64)
+        exh = (d * np.log2(2.0 * rv + 1.0)) > MESH_CAP_LOG2
+        parts: list[DataFrame] = []
+        lvl_counts: dict[int, int] = {}
+        est = 0
+        if (~exh).any():
+            sub = st.loc[~exh, ["qid", *qcols, "level", "r"]]
+            cells_pdf = _resolved_cells(sub, d, cb, L, mnp)
+            cells_pdf = cells_pdf.merge(sub[["qid", *qcols]], on="qid")
+            est += _cand_estimate(cells_pdf, mnp, d, cb, L)
+            parts, lvl_counts = _mesh_parts_local(
+                spark, cells_pdf, qcols, pts_narrow, d, kb, L, mnp
+            )
+        if bool(exh.any()):
+            ex = st.loc[exh, ["qid", *qcols, "level", "r"]]
+            exq = F.broadcast(
+                spark.createDataFrame(ex, schema=f"qid long, {qschema}, level int, r long")
+            )
+            cheb = None
+            for j in range(d):
+                t = F.abs(
+                    F.expr(f"shiftrightunsigned(x{j}, CAST({cb} - level AS INT))")
+                    - F.expr(f"shiftrightunsigned(q{j}, CAST({cb} - level AS INT))")
+                )
+                cheb = t if cheb is None else F.greatest(cheb, t)
+            r_prev = F.when(F.col("r") == 1, F.lit(-1)).otherwise(F.col("r") / 2).cast("long")
+            parts.append(
+                pts_narrow.crossJoin(exq)
+                .where(cheb > r_prev)
+                .withColumn(
+                    "pcell",
+                    F.expr(f"shiftrightunsigned(morton, CAST({d} * ({kb} - level) AS INT))"),
+                )
+                .drop("level", "r", "morton")  # mesh parts drop morton too
+            )
+            est += int(exh.sum()) * total_pts
+        new_sizes = None
+        if parts:
+            cand = parts[0]
+            for p in parts[1:]:
+                cand = cand.unionByName(p)
+            if plan_log is not None:
+                plan_log.append(
+                    {
+                        "plan": str(cand._jdf.queryExecution().optimizedPlan()),
+                        "lvl_counts": dict(lvl_counts) if bool((~exh).any()) else {},
+                    }
+                )
+            sel = cand.select(
+                "qid",
+                dist2.cast("long").alias("dist2"),
+                F.col("key").cast("long").alias("key"),
+                F.col("span_idx").cast("long").alias("span_idx"),
+            )
+            if est > DRIVER_COLLECT_MAX_ROWS:
+                # the ancestor-occupancy bound is very loose on skewed data
+                # (fine cells under a hot leaf each charge the whole
+                # cluster): spend one cheap map-side-combined count to learn
+                # the EXACT volume — it doubles as the stats sizes — and
+                # only fall back to the WindowGroupLimit reduction when the
+                # volume is genuinely too large to collect raw
+                new_sizes = (
+                    sel.groupBy("qid").agg(F.count(F.lit(1)).alias("c"))
+                    .toPandas().set_index("qid")["c"]
+                )
+                t0 = _prof(f"r{rnd}_count_job(total={int(new_sizes.sum())})", t0)
+                if int(new_sizes.sum()) <= DRIVER_COLLECT_MAX_ROWS:
+                    cand_pd = sel.toPandas()
+                else:
+                    w = Window.partitionBy("qid").orderBy("dist2", "key", "span_idx")
+                    cand_pd = (
+                        sel.withColumn("rn", F.row_number().over(w))
+                        .where(F.col("rn") <= k).drop("rn").toPandas()
+                    )
+            else:
+                cand_pd = sel.toPandas()
+                new_sizes = cand_pd.groupby("qid").size()
+        else:
+            cand_pd = carried.iloc[0:0]
+        t0 = _prof(f"r{rnd}_driver_collect(est={est})", t0)
+
+        # ---- driver-side merge + termination (exact int64 throughout) ----
+        if new_sizes is not None:
+            st["cnt"] = (
+                st["cnt"].to_numpy(np.int64)
+                + st["qid"].map(new_sizes).fillna(0).to_numpy(np.int64)
+            )
+        allv = pd.concat([carried, cand_pd], ignore_index=True) if len(cand_pd) else carried
+        if len(allv):
+            order = np.lexsort(
+                (
+                    allv["span_idx"].to_numpy(np.int64),
+                    allv["key"].to_numpy(np.int64),
+                    allv["dist2"].to_numpy(np.int64),
+                    allv["qid"].to_numpy(np.int64),
+                )
+            )
+            allv = allv.iloc[order].reset_index(drop=True)
+            qv = allv["qid"].to_numpy(np.int64)
+            newg = np.r_[True, qv[1:] != qv[:-1]]
+            gstart = np.flatnonzero(newg)
+            gid = np.cumsum(newg) - 1
+            pos = np.arange(len(qv)) - gstart[gid]
+            keep = pos < k
+            allv = allv.loc[keep].reset_index(drop=True)
+            pos = pos[keep]
+        else:
+            pos = np.zeros(0, dtype=np.int64)
+        if len(allv):
+            kq = allv["qid"].to_numpy(np.int64)
+            uq, cq = np.unique(kq, return_counts=True)
+            size_ser = pd.Series(cq, index=uq)
+            kmask = pos == (k - 1)
+            kth_ser = pd.Series(
+                allv.loc[kmask, "dist2"].to_numpy(np.int64),
+                index=allv.loc[kmask, "qid"].to_numpy(np.int64),
+            )
+        else:
+            size_ser = pd.Series(dtype="int64")
+            kth_ser = pd.Series(dtype="int64")
+        sizes = st["qid"].map(size_ser).fillna(0).to_numpy(np.int64)
+        kth = st["qid"].map(kth_ser).fillna(-1).to_numpy(np.int64)
+        ring = (rv << (cb - lv)).astype(np.int64) ** 2
+        covered = exh | ((2 * rv + 1) >= (np.int64(2) << lv))
+        done = ((sizes >= k) & (kth >= 0) & (kth <= ring)) | (covered & (sizes > 0))
+        dropm = covered & (sizes == 0)
+        done_q = st.loc[done, "qid"].to_numpy(np.int64)
+        if done_q.size and len(allv):
+            dmask = np.isin(allv["qid"].to_numpy(np.int64), done_q)
+            resf = allv.loc[dmask, ["qid", "key", "span_idx", "dist2"]].copy()
+            resf["rn"] = (pos[dmask] + 1).astype(np.int64)
+            res_frames.append(resf)
+            if return_stats:
+                stf = st.loc[done, ["qid", "cnt"]].copy()
+                stf["rounds"] = np.int32(rnd)
+                stats_frames.append(stf)
+        st = st.loc[~done & ~dropm].copy()
+        if not len(st):
+            break
+        keep_q = st["qid"].to_numpy(np.int64)
+        if len(allv):
+            cmask = np.isin(allv["qid"].to_numpy(np.int64), keep_q)
+            carried = allv.loc[cmask, ["qid", "dist2", "key", "span_idx"]].reset_index(drop=True)
+        st["r"] = st["r"].to_numpy(np.int64) * 2
+
+    if not res_frames:
+        empty = spark.createDataFrame([], schema=RESULT_SCHEMA)
+        return (empty, spark.createDataFrame([], schema=STATS_SCHEMA)) if return_stats else empty
+    allres = pd.concat(res_frames, ignore_index=True)
+    final = spark.createDataFrame(
+        allres[["qid", "rn", "key", "span_idx", "dist2"]].astype("int64"),
+        schema="qid long, rn long, key long, span_idx long, dist2 long",
+    )
+    res_keys = spark.createDataFrame(
+        pd.DataFrame({"key": np.unique(allres["key"].to_numpy(np.int64))}), schema="key long"
+    )
+    ids = (
+        index.points.select("key", "doc_id")
+        .join(F.broadcast(res_keys), "key", "leftsemi")
+        .dropDuplicates(["key"])
+    )
+    out = final.hint("shuffle_hash").join(ids, "key").select(
+        "qid", "rn", "key", "doc_id", "span_idx", "dist2"
+    )
+    if return_stats:
+        if stats_frames:
+            spd = pd.concat(stats_frames, ignore_index=True)
+            spd = spd.rename(columns={"cnt": "cand_rows"})[["qid", "rounds", "cand_rows"]]
+            stats = spark.createDataFrame(
+                spd.astype({"qid": "int64", "rounds": "int32", "cand_rows": "int64"}),
+                schema=STATS_SCHEMA,
+            )
+        else:
+            stats = spark.createDataFrame([], schema=STATS_SCHEMA)
+        return out, stats
+    return out
+
+
 def knn(
     index: SpatialIndex,
     queries: pd.DataFrame | DataFrame,
@@ -461,6 +914,44 @@ def knn(
     d, kb, cb = cfg.dims, cfg.grid_bits, cfg.coord_bits
     qcols = [f"q{j}" for j in range(d)]
 
+    t0 = _time.time()
+    if level is None:
+        level = cfg.knn_level
+    level = min(level, kb)
+
+    # small-batch dispatch: with a memoized skeleton and a bounded query
+    # count, level assignment, shell resolution, top-k merge and ring
+    # termination all run ON THE DRIVER at one Spark job per ring round —
+    # see _knn_driver. pandas query sets dispatch directly; Spark query
+    # frames are probed with one LIMIT collect (complete iff it returns
+    # fewer rows than the cap). Large batches (the 1%-of-n harness at
+    # 38.4M+) and over-memo metas keep the distributed loop below.
+    qpd0 = None
+    if index.meta_np() is not None:
+        if isinstance(queries, pd.DataFrame):
+            if len(queries) <= DRIVER_CELLS_MAX_QUERIES:
+                qpd0 = queries[["qid"] + qcols].reset_index(drop=True)
+        else:
+            probe = (
+                queries.select("qid", *qcols).limit(DRIVER_CELLS_MAX_QUERIES + 1).toPandas()
+            )
+            if len(probe) <= DRIVER_CELLS_MAX_QUERIES:
+                qpd0 = probe
+        t0 = _prof("driver_probe", t0)
+    if qpd0 is not None:
+        if qpd0.empty:
+            empty = spark.createDataFrame([], schema=RESULT_SCHEMA)
+            return (empty, spark.createDataFrame([], schema=STATS_SCHEMA)) if return_stats else empty
+        st = qpd0.astype("int64")
+        if adaptive:
+            st["level"] = _assign_levels_np(
+                index, st, k, level, min(kb, level + 10), target_candidates
+            )
+        else:
+            st["level"] = np.int64(level)
+        t0 = _prof("assign_levels_np", t0)
+        return _knn_driver(index, st, k, max_rounds, return_stats, plan_log)
+
     if isinstance(queries, pd.DataFrame):
         if queries.empty:
             empty = spark.createDataFrame([], schema=RESULT_SCHEMA)
@@ -469,14 +960,12 @@ def knn(
     else:
         qdf = queries.select("qid", *qcols)
 
-    if level is None:
-        level = cfg.knn_level
-    level = min(level, kb)
     if adaptive:
         cap = min(kb, level + 10)
         qdf = _assign_levels(index, qdf, k, level, cap, target_candidates)
     else:
         qdf = qdf.withColumn("level", F.lit(level).cast("int"))
+    t0 = _prof("assign_levels", t0)
 
     def _ckpt(df: DataFrame) -> DataFrame:
         if reliable_checkpoints and spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
@@ -493,6 +982,7 @@ def knn(
         F.count(F.lit(1)).alias("n"), F.sum(_exh_cond(d).cast("long")).alias("ne")
     ).collect()[0]
     n_pend, n_exh = int(row["n"]), int(row["ne"] or 0)
+    t0 = _prof("pend_init", t0)
 
     dist2 = None
     for j in range(d):
@@ -504,6 +994,7 @@ def knn(
     xcols = [f"x{j}" for j in range(d)]
     pts_base = index.pruned_points(k) or index.points
     pts_narrow = pts_base.select("key", "span_idx", *xcols, "morton")
+    t0 = _prof("pruned_points", t0)
 
     L = cfg.index_level
     mnp = index.meta_np()
@@ -540,18 +1031,32 @@ def knn(
         # and re-scanned the full table for rounds >= 2 stragglers — the
         # measured scale-killer (25.3s of a ~70s varden round at 38.4M).
         raw_cells = None
+        cells_pdf = None  # driver-resolved shell cells (small pending sets)
         if n_exh < n_pend:
             mesh_pend = pend.where(~exh)
-            cells = mesh_pend.select("qid", *qcols, "level", "r").mapInPandas(
-                _gen_cells, schema="qid long, lvl int, cell long"
-            )
-            if mnp is None:
-                # meta too large for the driver memo: resolve shells via the
-                # meta-side join instead of reverting to the full points
-                # explode (r4's at-scale fallback defect — VERDICT r4 #2)
-                raw_cells = cells.persist()
-                cells = _resolve_cells_spark(index, raw_cells, d, L)
-            cells = cells.persist()
+            use_driver = mnp is not None and (n_pend - n_exh) <= DRIVER_CELLS_MAX_QUERIES
+            if use_driver:
+                # driver path: ONE small Arrow collect of the pending slice,
+                # numpy shell resolution, and local-relation broadcasts —
+                # no executor Python workers, no cells persist, and the
+                # per-level leaf/count stats come from pandas instead of a
+                # dedicated collect job per round
+                qpd = mesh_pend.select("qid", *qcols, "level", "r").toPandas()
+                cells_pdf = _resolved_cells(qpd, d, cb, L, mnp)
+                # attach the query coordinates here so the candidate join
+                # needs no separate qside join at all
+                cells_pdf = cells_pdf.merge(qpd[["qid", *qcols]], on="qid")
+            else:
+                cells = mesh_pend.select("qid", *qcols, "level", "r").mapInPandas(
+                    _gen_cells, schema="qid long, lvl int, cell long"
+                )
+                if mnp is None:
+                    # meta too large for the driver memo: resolve shells via
+                    # the meta-side join instead of reverting to the full
+                    # points explode (r4's at-scale fallback defect)
+                    raw_cells = cells.persist()
+                    cells = _resolve_cells_spark(index, raw_cells, d, L)
+                cells = cells.persist()
             # Per-LEVEL scan pruning: collect each level's DISTINCT leaf
             # ancestors (bounded by the skeleton size, never the shell-cell
             # count) and, where a level's leaves hold a minority of the
@@ -568,103 +1073,117 @@ def knn(
             # bounded by skeleton x levels, never by shell-cell count —
             # and sum the counts per lvl on the driver (r5 ran a second
             # full distinct+collect over the shell table every round).
-            per_level_leaves: dict[int, np.ndarray] | None = None
-            lvl_counts: dict[int, int] = {}
-            grouped = None
-            if mnp is not None:
-                anc = F.when(F.col("lvl") < 0, F.col("cell")).otherwise(
-                    F.expr(f"shiftrightunsigned(cell, CAST({d} * (lvl - {L}) AS INT))")
-                )
-                grouped = (
-                    cells.groupBy("lvl", anc.alias("leaf"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .limit(LEAF_COLLECT_CAP + 1)
-                    .collect()
-                )
-                if len(grouped) <= LEAF_COLLECT_CAP:
-                    acc: dict[int, list] = {}
-                    for r2 in grouped:
-                        lv = int(r2["lvl"])
-                        lvl_counts[lv] = lvl_counts.get(lv, 0) + int(r2["n"])
-                        acc.setdefault(lv, []).append(r2["leaf"])
-                    per_level_leaves = {
-                        lv: np.array(ls, dtype=np.int64) for lv, ls in acc.items()
-                    }
-                else:
-                    grouped = None  # overflow: fall through to the lvl-only agg
-            if grouped is None:
-                lvl_counts = {
-                    int(r2["lvl"]): int(r2["n"])
-                    for r2 in cells.groupBy("lvl").agg(F.count(F.lit(1)).alias("n")).collect()
-                }
-            n_cells = sum(lvl_counts.values())
-            n_coarse = lvl_counts.get(-1, 0)
-            fine_levels = sorted(l for l in lvl_counts if l >= 0)
-
-            def _covered_frac(leaves: np.ndarray) -> float:
-                i = np.searchsorted(mnp["cells"], np.unique(leaves))
-                total = int(mnp["cum"][-1])
-                return float((mnp["cum"][i + 1] - mnp["cum"][i]).sum()) / max(1, total)
-
-            def _scan(leaves: np.ndarray | None) -> DataFrame:
-                if leaves is None or _covered_frac(leaves) > 0.4:
-                    return pts_narrow
-                return pts_narrow.where(morton_interval_pred(leaves, leaf_shift))
-
             mesh_parts: list[DataFrame] = []
-            if n_coarse:
-                cl = cells.where(F.col("lvl") < 0).select("qid", F.col("cell").alias("leaf"))
-                if n_coarse <= cells_bcast_rows:
-                    cl = F.broadcast(cl)
-                p = _scan(None if per_level_leaves is None else per_level_leaves.get(-1))
-                p = p.withColumn("pcell", F.shiftrightunsigned("morton", leaf_shift))
-                mesh_parts.append(p.join(cl, F.col("pcell") == F.col("leaf")).drop("leaf", "morton"))
-            shared_levels: list[int] = []
-            for lvl in fine_levels:
-                leaves = None if per_level_leaves is None else per_level_leaves.get(lvl)
-                if leaves is None or _covered_frac(leaves) > 0.4:
-                    shared_levels.append(lvl)
-                    continue
-                cl = cells.where(F.col("lvl") == lvl).select("qid", "cell")
-                if lvl_counts[lvl] <= cells_bcast_rows:
-                    cl = F.broadcast(cl)
-                p = pts_narrow.where(morton_interval_pred(leaves, leaf_shift)).withColumn(
-                    "pcell", F.shiftrightunsigned("morton", d * (kb - lvl))
+            lvl_counts: dict[int, int] = {}
+            if cells_pdf is not None:
+                # driver-resolved straggler round: local cell relations with
+                # coords folded in, no Spark stats job (shared helper with
+                # the small-batch loop)
+                mesh_parts, lvl_counts = _mesh_parts_local(
+                    spark, cells_pdf, qcols, pts_narrow, d, kb, L, mnp
                 )
-                mesh_parts.append(p.join(cl, F.col("pcell") == F.col("cell")).drop("cell", "morton"))
-            if shared_levels:
-                cl = cells.where(F.col("lvl").isin(shared_levels)).select(
-                    "qid", F.col("lvl").alias("clvl"), "cell"
-                )
-                if sum(lvl_counts[lv] for lv in shared_levels) <= cells_bcast_rows:
-                    cl = F.broadcast(cl)
-                # foldable literal level array (codegen hoists it); the cell
-                # is column arithmetic AFTER the explode — an array-of-structs
-                # here allocates per ROW (GC-bound floor at 38.4M pts)
-                p = pts_narrow.select(
-                    "*",
-                    F.explode(
-                        F.array(*[F.lit(int(lvl)).cast("int") for lvl in shared_levels])
-                    ).alias("plvl"),
-                ).withColumn(
-                    "pcell",
-                    F.expr(f"shiftrightunsigned(morton, CAST({d} * ({kb} - plvl) AS INT))"),
-                )
-                mesh_parts.append(
-                    p.join(
-                        cl, (F.col("plvl") == F.col("clvl")) & (F.col("pcell") == F.col("cell"))
-                    ).drop("clvl", "cell", "plvl", "morton")
-                )
+                t0 = _prof(f"r{rnd}_cells_collect", t0)
+            else:
+                per_level_leaves: dict[int, np.ndarray] | None = None
+                grouped = None
+                if mnp is not None:
+                    anc = F.when(F.col("lvl") < 0, F.col("cell")).otherwise(
+                        F.expr(f"shiftrightunsigned(cell, CAST({d} * (lvl - {L}) AS INT))")
+                    )
+                    grouped = (
+                        cells.groupBy("lvl", anc.alias("leaf"))
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .limit(LEAF_COLLECT_CAP + 1)
+                        .collect()
+                    )
+                    if len(grouped) <= LEAF_COLLECT_CAP:
+                        acc: dict[int, list] = {}
+                        for r2 in grouped:
+                            lv = int(r2["lvl"])
+                            lvl_counts[lv] = lvl_counts.get(lv, 0) + int(r2["n"])
+                            acc.setdefault(lv, []).append(r2["leaf"])
+                        per_level_leaves = {
+                            lv: np.array(ls, dtype=np.int64) for lv, ls in acc.items()
+                        }
+                    else:
+                        grouped = None  # overflow: fall through to the lvl-only agg
+                if grouped is None:
+                    lvl_counts = {
+                        int(r2["lvl"]): int(r2["n"])
+                        for r2 in cells.groupBy("lvl").agg(F.count(F.lit(1)).alias("n")).collect()
+                    }
+                t0 = _prof(f"r{rnd}_cells_collect", t0)
+                n_coarse = lvl_counts.get(-1, 0)
+                fine_levels = sorted(l for l in lvl_counts if l >= 0)
+
+                def _covered_frac(leaves: np.ndarray) -> float:
+                    i = np.searchsorted(mnp["cells"], np.unique(leaves))
+                    total = int(mnp["cum"][-1])
+                    return float((mnp["cum"][i + 1] - mnp["cum"][i]).sum()) / max(1, total)
+
+                def _scan(leaves: np.ndarray | None) -> DataFrame:
+                    if leaves is None or _covered_frac(leaves) > 0.4:
+                        return pts_narrow
+                    return pts_narrow.where(morton_interval_pred(leaves, leaf_shift))
+
+                if n_coarse:
+                    cl = cells.where(F.col("lvl") < 0).select("qid", F.col("cell").alias("leaf"))
+                    if n_coarse <= cells_bcast_rows:
+                        cl = F.broadcast(cl)
+                    p = _scan(None if per_level_leaves is None else per_level_leaves.get(-1))
+                    p = p.withColumn("pcell", F.shiftrightunsigned("morton", leaf_shift))
+                    mesh_parts.append(p.join(cl, F.col("pcell") == F.col("leaf")).drop("leaf", "morton"))
+                shared_levels: list[int] = []
+                for lvl in fine_levels:
+                    leaves = None if per_level_leaves is None else per_level_leaves.get(lvl)
+                    if leaves is None or _covered_frac(leaves) > 0.4:
+                        shared_levels.append(lvl)
+                        continue
+                    cl = cells.where(F.col("lvl") == lvl).select("qid", "cell")
+                    if lvl_counts[lvl] <= cells_bcast_rows:
+                        cl = F.broadcast(cl)
+                    p = pts_narrow.where(morton_interval_pred(leaves, leaf_shift)).withColumn(
+                        "pcell", F.shiftrightunsigned("morton", d * (kb - lvl))
+                    )
+                    mesh_parts.append(p.join(cl, F.col("pcell") == F.col("cell")).drop("cell", "morton"))
+                if shared_levels:
+                    cl = cells.where(F.col("lvl").isin(shared_levels)).select(
+                        "qid", F.col("lvl").alias("clvl"), "cell"
+                    )
+                    if sum(lvl_counts[lv] for lv in shared_levels) <= cells_bcast_rows:
+                        cl = F.broadcast(cl)
+                    # foldable literal level array (codegen hoists it); the
+                    # cell is column arithmetic AFTER the explode — an
+                    # array-of-structs here allocates per ROW (GC-bound
+                    # floor at 38.4M pts)
+                    p = pts_narrow.select(
+                        "*",
+                        F.explode(
+                            F.array(*[F.lit(int(lvl)).cast("int") for lvl in shared_levels])
+                        ).alias("plvl"),
+                    ).withColumn(
+                        "pcell",
+                        F.expr(f"shiftrightunsigned(morton, CAST({d} * ({kb} - plvl) AS INT))"),
+                    )
+                    mesh_parts.append(
+                        p.join(
+                            cl, (F.col("plvl") == F.col("clvl")) & (F.col("pcell") == F.col("cell"))
+                        ).drop("clvl", "cell", "plvl", "morton")
+                    )
             if mesh_parts:
                 mesh_cand = mesh_parts[0]
                 for mp in mesh_parts[1:]:
                     mesh_cand = mesh_cand.unionByName(mp)
-                qside = mesh_pend.select("qid", *qcols)
-                if n_pend - n_exh <= qside_bcast_rows:
-                    qside = F.broadcast(qside)
-                branches.append(mesh_cand.join(qside, "qid"))
-                # count BEFORE the 1:1 qside join (same cardinality per qid)
+                # count BEFORE the 1:1 qside attach (same cardinality per qid)
                 cnt_parts.append(mesh_cand.select("qid"))
+                if cells_pdf is None:
+                    # distributed path: query coords arrive via a qside join;
+                    # the driver path folded them into the cell relations
+                    qside = mesh_pend.select("qid", *qcols)
+                    if n_pend - n_exh <= qside_bcast_rows:
+                        qside = F.broadcast(qside)
+                    mesh_cand = mesh_cand.join(qside, "qid")
+                branches.append(mesh_cand)
 
         # --- exhaustive branch: filtered full scan for over-mesh queries ---
         if n_exh > 0:
@@ -792,6 +1311,7 @@ def knn(
             .withColumn("_drop", F.col("_covered") & (F.size("tk_m") == 0))
         )
         j = _ckpt(j)
+        t0 = _prof(f"r{rnd}_round_ckpt", t0)
 
         res_round = j.where("_done").select(
             "qid", F.col("tk_m").alias("tk"), F.lit(rnd).cast("int").alias("rounds"),
@@ -809,6 +1329,7 @@ def knn(
             F.count(F.lit(1)).alias("n"), F.sum(_exh_cond(d).cast("long")).alias("ne")
         ).collect()[0]  # cheap: scans the checkpointed round frame
         n_pend, n_exh = int(row["n"]), int(row["ne"] or 0)
+        t0 = _prof(f"r{rnd}_pend_agg", t0)
         if cells is not None:
             cells.unpersist()
         if raw_cells is not None:

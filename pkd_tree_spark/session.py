@@ -13,7 +13,7 @@ def get_spark(app: str = "pkd_tree_spark", cpus: int | None = None, shuffle_part
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
-    return (
+    spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -32,3 +32,26 @@ def get_spark(app: str = "pkd_tree_spark", cpus: int | None = None, shuffle_part
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
+    _prewarm_python_workers(spark, cpus)
+    return spark
+
+
+def _prewarm_python_workers(spark: SparkSession, cpus: int) -> None:
+    """Fork the Python worker fleet once at session creation. The first
+    Arrow-evaluated job of a session otherwise pays ~one fork + pandas/numpy
+    import per core (measured: the first mapInPandas round of a kNN batch
+    took 5.3s vs 0.8s warm on local[32]) — with spark.python.worker.reuse
+    (default on) the workers then serve every later Python-boundary job.
+    One trivial batch per core; guarded so repeated get_spark() calls on a
+    live session don't re-run it."""
+    try:
+        if spark.conf.get("spark.pkd.prewarmed", "0") == "1":
+            return
+        def _ident(batches):
+            for b in batches:
+                yield b
+
+        spark.range(0, cpus, 1, cpus).mapInPandas(_ident, "id long").count()
+        spark.conf.set("spark.pkd.prewarmed", "1")
+    except Exception:  # noqa: BLE001 — prewarming is best-effort
+        pass

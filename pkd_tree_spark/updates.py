@@ -179,9 +179,27 @@ def checkpoint_index(index: SpatialIndex) -> SpatialIndex:
     (only the CacheManager is consulted; checkpoint blocks are freed by the
     async ContextCleaner, far too late for a loop that makes one generation
     per step — measured: ~20 stacked generations across the bench sweep
-    spiked later in-suite timings 3x)."""
-    pts, ids_p = tracked_local_checkpoint(index.points)
-    meta, ids_m = tracked_local_checkpoint(index.meta)
+    spiked later in-suite timings 3x).
+
+    Two scale-shape details (measured on the sf0.1 incremental sweep,
+    ~1.4s/step -> ~0.7s/step):
+      * unionByName concatenates partition lists, so an N-step insert loop
+        otherwise snowballs to N x partitions tiny tasks per job (288 by
+        step 9 of the r10 sweep) — coalesce (narrow, no shuffle) restores
+        the configured width before materializing;
+      * the points and meta checkpoints are INDEPENDENT eager jobs —
+        submitting them from two driver threads lets the small meta job
+        back-fill the points job's straggler tail (guide §2.6)."""
+    # coalesce never increases a partition count, so this is a no-op when
+    # the index is already at its configured width
+    pts_df = index.points.coalesce(index.cfg.partitions)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pts = pool.submit(tracked_local_checkpoint, pts_df)
+        f_meta = pool.submit(tracked_local_checkpoint, index.meta)
+        pts, ids_p = f_pts.result()
+        meta, ids_m = f_meta.result()
     return SpatialIndex(points=pts, meta=meta, cfg=index.cfg, _staged_ids=ids_p + ids_m)
 
 
