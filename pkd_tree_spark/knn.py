@@ -340,7 +340,7 @@ def _home_cell_expr(d: int, cb: int, lvl: int):
     """Morton home cell of a query at a grid level — pure JVM expression."""
     from .zorder import morton_col
 
-    gcols = [F.shiftrightunsigned(F.col(f"q{j}"), cb - lvl) for j in range(d)]
+    gcols = [f"shiftrightunsigned(q{j}, {cb - lvl})" for j in range(d)]
     return morton_col(gcols, d, lvl)
 
 

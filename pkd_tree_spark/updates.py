@@ -61,7 +61,7 @@ DELETE_BCAST_ROWS = 4_000_000
 
 
 def _with_morton(points_df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    gcols = [F.shiftrightunsigned(F.col(f"x{j}"), cfg.coord_shift) for j in range(cfg.dims)]
+    gcols = [f"shiftrightunsigned(x{j}, {cfg.coord_shift})" for j in range(cfg.dims)]
     return points_df.withColumn("morton", morton_col(gcols, cfg.dims, cfg.grid_bits))
 
 
@@ -80,27 +80,28 @@ def _merge_meta(old: DataFrame, delta: DataFrame, cfg: EngineConfig, sign: int) 
     """Combine per-cell stats; sign=+1 insert, -1 delete. Cells reaching
     cnt<=0 drop out (the thin-subtree collapse, kdTreeParallel.h:42)."""
     d = cfg.dims
-    o = old.select(
-        "cell", F.col("cnt").alias("ocnt"),
-        *[F.col(f"mn{j}").alias(f"omn{j}") for j in range(d)],
-        *[F.col(f"mx{j}").alias(f"omx{j}") for j in range(d)],
+    # selectExpr strings, not Column chains: the Column form issued ~8 py4j
+    # round-trips per dim and this runs once per step of iterative loops
+    o = old.selectExpr(
+        "cell", "cnt AS ocnt",
+        *[f"mn{j} AS omn{j}" for j in range(d)],
+        *[f"mx{j} AS omx{j}" for j in range(d)],
     )
-    dl = delta.select(
-        "cell", F.col("cnt").alias("dcnt"),
-        *[F.col(f"mn{j}").alias(f"dmn{j}") for j in range(d)],
-        *[F.col(f"mx{j}").alias(f"dmx{j}") for j in range(d)],
+    dl = delta.selectExpr(
+        "cell", "cnt AS dcnt",
+        *[f"mn{j} AS dmn{j}" for j in range(d)],
+        *[f"mx{j} AS dmx{j}" for j in range(d)],
     )
     j = o.join(dl, "cell", "full_outer")
-    cnt = F.coalesce("ocnt", F.lit(0)) + F.lit(sign) * F.coalesce("dcnt", F.lit(0))
-    cols = [F.col("cell"), cnt.alias("cnt")]
+    exprs = ["cell", f"coalesce(ocnt, 0) + ({sign}) * coalesce(dcnt, 0) AS cnt"]
     for jj in range(d):
         if sign > 0:
-            cols.append(F.least(F.coalesce(f"omn{jj}", f"dmn{jj}"), F.coalesce(f"dmn{jj}", f"omn{jj}")).alias(f"mn{jj}"))
-            cols.append(F.greatest(F.coalesce(f"omx{jj}", f"dmx{jj}"), F.coalesce(f"dmx{jj}", f"omx{jj}")).alias(f"mx{jj}"))
+            exprs.append(f"least(coalesce(omn{jj}, dmn{jj}), coalesce(dmn{jj}, omn{jj})) AS mn{jj}")
+            exprs.append(f"greatest(coalesce(omx{jj}, dmx{jj}), coalesce(dmx{jj}, omx{jj})) AS mx{jj}")
         else:  # delete: keep old (conservative) bounds
-            cols.append(F.coalesce(f"omn{jj}", f"dmn{jj}").alias(f"mn{jj}"))
-            cols.append(F.coalesce(f"omx{jj}", f"dmx{jj}").alias(f"mx{jj}"))
-    return j.select(*cols).where(F.col("cnt") > 0)
+            exprs.append(f"coalesce(omn{jj}, dmn{jj}) AS mn{jj}")
+            exprs.append(f"coalesce(omx{jj}, dmx{jj}) AS mx{jj}")
+    return j.selectExpr(*exprs).where("cnt > 0")
 
 
 def merge_insert(index: SpatialIndex, new_points: DataFrame, persist: bool = True) -> SpatialIndex:
