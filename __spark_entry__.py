@@ -214,23 +214,31 @@ def _q_count_box_cow_deleted(dist: str):
     oracle sees the corner box emptied; the targeted meta refresh and the
     emptied-bucket directory removal are both on the checked path."""
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import shutil
         import tempfile
 
         from pkd_tree_spark.updates import PersistentIndex
 
-        idx = _build(spark, sf_dir, dist)
-        p = PersistentIndex(path=tempfile.mkdtemp(prefix="pkd_cow_"), cfg=idx.cfg)
-        p.write(idx)
-        corner = 1 << (idx.cfg.coord_bits - p.bucket_level)  # pbucket 0 box
-        pred = None
-        for j in range(D):
-            c = F.col(f"x{j}") < corner
-            pred = c if pred is None else pred & c
-        victims = p.load(spark).points.where(pred).select(
-            "key", "span_idx", *[f"x{j}" for j in range(D)]
-        ).localCheckpoint(eager=True)  # snapshot before the files are rewritten
-        p.merge_delete_cow(spark, victims)
-        return range_count_boxes(p.load(spark), FX.box_fixtures(NQ_BOX, D))
+        tmp = tempfile.mkdtemp(prefix="pkd_cow_")
+        try:
+            idx = _build(spark, sf_dir, dist)
+            p = PersistentIndex(path=tmp, cfg=idx.cfg)
+            p.write(idx)
+            corner = 1 << (idx.cfg.coord_bits - p.bucket_level)  # pbucket 0 box
+            pred = None
+            for j in range(D):
+                c = F.col(f"x{j}") < corner
+                pred = c if pred is None else pred & c
+            victims = p.load(spark).points.where(pred).select(
+                "key", "span_idx", *[f"x{j}" for j in range(D)]
+            ).localCheckpoint(eager=True)  # snapshot before the files are rewritten
+            p.merge_delete_cow(spark, victims)
+            # materialize before the index directory is removed
+            return range_count_boxes(p.load(spark), FX.box_fixtures(NQ_BOX, D)).localCheckpoint(
+                eager=True
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return fn
 
 

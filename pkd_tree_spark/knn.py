@@ -1190,6 +1190,11 @@ def knn(
             exh_pend = pend.where(exh).select("qid", *qcols, "level", "r")
             if n_exh <= qside_bcast_rows:
                 exh_pend = F.broadcast(exh_pend)
+            else:
+                # an over-broadcast query side on a predicate-only join must
+                # become a partitioned CartesianProduct, never a Broadcast
+                # NestedLoop with a multi-GB build side (VERDICT r6 #5)
+                exh_pend = exh_pend.hint("shuffle_replicate_nl")
             # Chebyshev cell distance beyond the already-scanned radius
             # r_prev = r//2 (shells stay disjoint + exhaustive)
             cheb = None

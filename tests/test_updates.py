@@ -128,8 +128,8 @@ def test_cow_merge_rewrites_only_touched_buckets(tmp_path, spark, cfg, index_uni
     )
     p.merge_insert_cow(spark, spark.createDataFrame(batch))
     ck = Checkpoint(str(tmp_path / "idx/_lineage_merge"))
-    done = [f for f in __import__("os").listdir(ck.path) if f.startswith("merge_bucket_")]
-    assert len(done) == 1  # copy-on-write granularity
+    done = [f for f in __import__("os").listdir(ck.path) if f.startswith("swap_")]
+    assert len(done) == 1  # copy-on-write granularity: one bucket swapped
     loaded = p.load(spark)
     assert loaded.points.count() == len(points_uniform) + 10
 
