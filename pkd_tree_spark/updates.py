@@ -51,13 +51,15 @@ __all__ = [
 ]
 
 # Delete-key sets at or below this row count are broadcast to the anti-join
-# (build-side hash relation ~40B/row -> <=160MB at the cap: comfortably
-# inside a default executor heap), so the surviving-rows pass STREAMS the
-# points table with ZERO full-table shuffle — the r5 plan sort-merge-joined
-# all 153.6M rows on an unclustered key TWICE and cost 165s vs the matching
-# insert's 19.5s @16c. Larger batches fall back to a shuffled HASH join
-# (hint) — both sides exchange once but nobody sorts 10^8 rows.
-DELETE_BCAST_ROWS = 4_000_000
+# (build-side hash relation ~40B/row -> ~320MB at the cap: inside a normal
+# executor heap, per guide §3.1 "a few hundred MB is usually fine"), so the
+# surviving-rows pass STREAMS the points table with ZERO full-table shuffle
+# — the r5 plan sort-merge-joined all 153.6M rows on an unclustered key
+# TWICE and cost 165s vs the matching insert's 19.5s @16c. r6 capped this
+# at 4M, pushing the 38.4M 10% batch (5.5M keys) onto the full-table
+# shuffled-hash fallback; measured at 38.4M@16c the single 5.5M-key
+# broadcast beats both that fallback and a 16-way sliced broadcast union.
+DELETE_BCAST_ROWS = 8_000_000
 # Oversized exact-rows batches (coords available) are ROUTED BY MORTON
 # BUCKET instead: each bucket's key slice broadcasts to an anti-join over
 # that bucket's Morton interval of the (range-partitioned, min/max-
@@ -168,12 +170,15 @@ def merge_delete(
     # (a measured gate, not a guess — AQE's estimate of a derived batch can
     # miss) and the checkpoint stops the batch pipeline re-running per join
     route = exact_rows and all(c in delete_keys.columns for c in xcols)
-    keep = [*on, *xcols] if route else list(on)
-    keys, key_ids = tracked_local_checkpoint(delete_keys.select(*keep).dropDuplicates(on))
+    # the checkpointed key set stays NARROW (on-columns only): carrying the
+    # coordinate columns here widened the common broadcast path's shuffle,
+    # checkpoint blocks and hash relation for nothing (the routed path
+    # below re-derives buckets from the original batch only when it fires)
+    keys, key_ids = tracked_local_checkpoint(delete_keys.select(*on).distinct())
     nk = keys.count()
     keyside = None
     if nk <= DELETE_BCAST_ROWS:
-        keyside = F.broadcast(keys.select(*on))
+        keyside = F.broadcast(keys)
         pts = index.points.join(keyside, on, "left_anti")
     elif route and nk <= DELETE_ROUTE_MAX_ROWS:
         # bucket-route the oversized batch (VERDICT r6 #3): slice the keys
@@ -183,13 +188,17 @@ def merge_delete(
         # is streamed exactly once and NOTHING shuffles (the r6 fallback
         # exchanged all 153.6M rows to delete 10% of them: 87s vs the
         # matching insert's 17.5s @16c)
+        # as FEW slices as possible: every extra slice is another broadcast
+        # exchange built serially before the union job (measured: 16 slices
+        # of a 5.5M-key batch cost more in broadcast builds than the whole
+        # anti-join) — target slices of ~half the broadcast cap
         rl = 1
-        while nk >> (d * rl) > DELETE_BCAST_ROWS // 4 and rl < cfg.index_level:
+        while nk >> (d * rl) > DELETE_BCAST_ROWS and rl < cfg.index_level:
             rl += 1
         shift = d * (cfg.grid_bits - rl)
-        keys_b = _with_morton(keys, cfg).withColumn(
-            "rb", F.shiftrightunsigned("morton", shift)
-        ).drop("morton", *xcols)
+        keys_b = _with_morton(
+            delete_keys.select(*on, *xcols).dropDuplicates(on), cfg
+        ).withColumn("rb", F.shiftrightunsigned("morton", shift)).drop("morton", *xcols)
         keys_b, ids_b = tracked_local_checkpoint(keys_b)
         key_ids = key_ids + ids_b
         per = {

@@ -183,3 +183,34 @@ def test_knn_empty_index_fine_level(spark, cfg):
     empty = SpatialIndex.build(pts.where(F.lit(False)), cfg)
     res = knn(empty, FX.knn_fixtures(4, 2), k=3, level=cfg.index_level + 2, adaptive=False)
     assert res.count() == 0
+
+
+def test_knn_driver_loop_window_reduction_matches_raw(index_varden, monkeypatch):
+    """r7 driver ring loop: rounds whose estimated candidate volume exceeds
+    DRIVER_COLLECT_MAX_ROWS reduce per-query top-k in Spark before the
+    collect. Forcing the reduction (cap=0 after the exact-count downgrade
+    is also disabled) must give byte-identical results to the raw path."""
+    import pkd_tree_spark.knn as K
+
+    queries = FX.knn_fixtures(16, 2)
+    want = _sorted(knn(index_varden, queries, k=10))
+    monkeypatch.setattr(K, "DRIVER_COLLECT_MAX_ROWS", 0)
+    got = _sorted(knn(index_varden, queries, k=10))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_spark_vs_driver_loop_equivalence(spark, cfg, index_uniform):
+    """The small-batch driver loop and the distributed loop must return the
+    same rows AND the same per-query (rounds, cand_rows) stats."""
+    import pkd_tree_spark.knn as K
+
+    queries = FX.knn_fixtures(32, 2)
+    res_a, st_a = knn(index_uniform, queries, k=10, return_stats=True)
+    a, sa = _sorted(res_a), st_a.toPandas().sort_values("qid").reset_index(drop=True)
+    import unittest.mock as mock
+
+    with mock.patch.object(K, "DRIVER_CELLS_MAX_QUERIES", -1):
+        res_b, st_b = knn(index_uniform, queries, k=10, return_stats=True)
+        b, sb = _sorted(res_b), st_b.toPandas().sort_values("qid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(sa, sb)

@@ -314,3 +314,79 @@ def test_checkpoint_index_release_frees_blocks(spark, cfg, index_uniform):
     assert n_persistent() == base + 2  # gen1's blocks actually dropped
     gen2.release()
     assert n_persistent() == base
+
+
+def test_delete_bucket_routed_matches_broadcast(spark, cfg, index_uniform, points_uniform, monkeypatch):
+    """r7: oversized exact-rows batches route by Morton bucket (union of
+    per-interval broadcast anti-joins + negated-interval passthrough)
+    instead of shuffling the full table. Forced here by shrinking the
+    broadcast gate; the surviving multiset must equal the broadcast
+    path's, and the plan must contain NO shuffle of the points side."""
+    import pkd_tree_spark.updates as U
+
+    # spread batch (key-mod selection): slices stay under the shrunken gate
+    batch_pd = (
+        index_uniform.points.where(F.col("key") % 53 == 3)
+        .select("key", "span_idx", "x0", "x1")
+        .toPandas()
+    )
+    want = merge_delete(
+        index_uniform, spark.createDataFrame(batch_pd), exact_rows=True, persist=False
+    ).points.toPandas()
+    monkeypatch.setattr(U, "DELETE_BCAST_ROWS", 500)
+    routed = U.merge_delete(
+        index_uniform, spark.createDataFrame(batch_pd), exact_rows=True, persist=False
+    )
+    got = routed.points.toPandas()
+    key = ["key", "span_idx", "x0", "x1"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        want.sort_values(key).reset_index(drop=True)[key],
+    )
+    plan = routed.points._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cow_delete_second_batch_not_skipped(tmp_path, spark, cfg, index_uniform, points_uniform):
+    """ADVICE r6 #1 regression: lineage markers are namespaced by a batch
+    fingerprint, so a SECOND delete with a DIFFERENT batch must do real
+    work (the r6 markers would have silently skipped any bucket touched
+    by the first batch)."""
+    from pkd_tree_spark.updates import PersistentIndex
+
+    p = PersistentIndex(path=str(tmp_path / "idx"), cfg=cfg)
+    p.write(index_uniform)
+    rows = spark.read.parquet(p.points_path).where(F.col("pbucket") == 0)
+    a = rows.limit(20).select("key", "span_idx", "x0", "x1").toPandas()
+    rep_a = p.merge_delete_cow(spark, spark.createDataFrame(a))
+    n_after_a = p.load(spark).points.count()
+    b = (
+        spark.read.parquet(p.points_path)
+        .where(F.col("pbucket") == 0)
+        .limit(20)
+        .select("key", "span_idx", "x0", "x1")
+        .toPandas()
+    )
+    rep_b = p.merge_delete_cow(spark, spark.createDataFrame(b))
+    assert rep_a["rows_deleted"] > 0 and rep_b["rows_deleted"] > 0
+    assert p.load(spark).points.count() == n_after_a - rep_b["rows_deleted"]
+
+
+def test_small_delete_survivors_stay_lazy(spark, cfg, index_uniform):
+    """r7: a small delete's survivors are NOT persisted (no full-table
+    cache write); counts and a range query stay exact through the lazy
+    anti-join."""
+    # key-predicate selection: the batch is a VERBATIM row multiset (all
+    # copies of duplicated identities included), as exact_rows requires
+    batch_pd = (
+        index_uniform.points.where(F.col("key") % 97 == 3)
+        .select("key", "span_idx", "x0", "x1")
+        .toPandas()
+    )
+    dels = merge_delete(index_uniform, spark.createDataFrame(batch_pd), exact_rows=True)
+    assert dels.points.storageLevel.useMemory is False  # lazy survivors
+    assert dels.meta.storageLevel.useMemory is True  # meta still cached
+    n = dels.points.count()
+    assert n == index_uniform.points.count() - len(batch_pd)
+    assert dels.meta.agg(F.sum("cnt")).collect()[0][0] == n
