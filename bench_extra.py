@@ -116,6 +116,22 @@ def study_cow() -> dict:
         loaded = p.load(spark)
         rec["rows_after_roundtrip"] = int(loaded.points.count())
         rec["roundtrip_exact"] = rec["rows_after_roundtrip"] == int(n)
+
+        # CLUSTERED delete: a batch confined to one Morton bucket — the
+        # case COW exists for ("a 1% delete rewrites ~1% of files"): only
+        # that bucket's files are rewritten
+        clustered = (
+            spark.read.parquet(p.points_path)
+            .where((F.col("pbucket") == 5) & (F.col("key") % 2 == 0))
+            .select("key", "span_idx", "x0", "x1")
+            .localCheckpoint(eager=True)
+        )
+        rec["clustered_batch_rows"] = int(clustered.count())
+        t0 = time.time()
+        dc = p.merge_delete_cow(spark, clustered)
+        rec["cow_delete_clustered_sec"] = round(time.time() - t0, 3)
+        rec["cow_delete_clustered_buckets"] = dc["buckets_touched"]
+        rec["cow_delete_clustered_rows"] = dc["rows_deleted"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return rec

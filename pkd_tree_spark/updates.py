@@ -170,15 +170,22 @@ def merge_delete(
     # (a measured gate, not a guess — AQE's estimate of a derived batch can
     # miss) and the checkpoint stops the batch pipeline re-running per join
     route = exact_rows and all(c in delete_keys.columns for c in xcols)
-    # the checkpointed key set stays NARROW (on-columns only): carrying the
-    # coordinate columns here widened the common broadcast path's shuffle,
-    # checkpoint blocks and hash relation for nothing (the routed path
-    # below re-derives buckets from the original batch only when it fires)
-    keys, key_ids = tracked_local_checkpoint(delete_keys.select(*on).distinct())
+    # ONE distinct pass: route-eligible batches keep the 8-byte morton of
+    # each identity alongside (the bucket-slice filters derive from it);
+    # coordinates are NEVER carried into the checkpoint — widening it
+    # costs every broadcast delete shuffle/checkpoint bytes for nothing
+    if route:
+        keys, key_ids = tracked_local_checkpoint(
+            _with_morton(delete_keys.select(*on, *xcols), cfg)
+            .select(*on, "morton")
+            .dropDuplicates(on)
+        )
+    else:
+        keys, key_ids = tracked_local_checkpoint(delete_keys.select(*on).distinct())
     nk = keys.count()
     keyside = None
     if nk <= DELETE_BCAST_ROWS:
-        keyside = F.broadcast(keys)
+        keyside = F.broadcast(keys.select(*on))
         pts = index.points.join(keyside, on, "left_anti")
     elif route and nk <= DELETE_ROUTE_MAX_ROWS:
         # bucket-route the oversized batch (VERDICT r6 #3): slice the keys
@@ -191,16 +198,12 @@ def merge_delete(
         # as FEW slices as possible: every extra slice is another broadcast
         # exchange built serially before the union job (measured: 16 slices
         # of a 5.5M-key batch cost more in broadcast builds than the whole
-        # anti-join) — target slices of ~half the broadcast cap
+        # anti-join) — slices target the full broadcast cap
         rl = 1
         while nk >> (d * rl) > DELETE_BCAST_ROWS and rl < cfg.index_level:
             rl += 1
         shift = d * (cfg.grid_bits - rl)
-        keys_b = _with_morton(
-            delete_keys.select(*on, *xcols).dropDuplicates(on), cfg
-        ).withColumn("rb", F.shiftrightunsigned("morton", shift)).drop("morton", *xcols)
-        keys_b, ids_b = tracked_local_checkpoint(keys_b)
-        key_ids = key_ids + ids_b
+        keys_b = keys.withColumn("rb", F.shiftrightunsigned("morton", shift))
         per = {
             int(r["rb"]): int(r["n"])
             for r in keys_b.groupBy("rb").agg(F.count(F.lit(1)).alias("n")).collect()
