@@ -20,7 +20,7 @@ from pyspark.sql.types import ArrayType, LongType
 from ..config import A1, A2
 from .dedup import quantized_embeddings
 
-__all__ = ["topk_dot", "ann_lsh", "lsh_bucket_col"]
+__all__ = ["topk_dot", "ann_lsh", "lsh_bucket_col", "auto_planes"]
 
 
 def _dot(qcol: str, vcol: str):
@@ -70,7 +70,7 @@ def lsh_bucket_col(qv_col, n_planes: int = 8, plane_offset: int = 0):
     return bucket
 
 
-# corpus max-norm memo keyed by the quantized plan's semantic hash PLUS a
+# corpus stats memo keyed by the quantized plan's semantic hash PLUS a
 # cheap data fingerprint (the sorted input-file listing — no Spark job): the
 # augmentation constant is corpus state (like the quantized table itself),
 # not per-call work — r4 re-ran the full-corpus max aggregate every ann_lsh
@@ -79,22 +79,49 @@ def lsh_bucket_col(qv_col, n_planes: int = 8, plane_offset: int = 0):
 # stale m2 and shift the MIPS augmentation. Non-file sources (in-memory
 # frames) fingerprint as the empty listing — those plans differ per corpus
 # anyway. Bounded: the cache only ever holds a handful of corpora.
-_M2_CACHE: dict[tuple, int] = {}
+_M2_CACHE: dict[tuple, tuple[int, int]] = {}
 
 
-def _corpus_max_norm(base: DataFrame) -> int:
+def _corpus_stats(base: DataFrame) -> tuple[int, int]:
+    """(max norm2, row count) of the quantized corpus — ONE aggregate pass,
+    memoized together (the r7 plane-count adaptivity needs the count on
+    exactly the frames that already paid the max-norm scan)."""
     try:
         h = (base.semanticHash(), tuple(sorted(base.inputFiles())))
     except Exception:  # noqa: BLE001 — hash unavailable: compute uncached
         h = None
     if h is not None and h in _M2_CACHE:
         return _M2_CACHE[h]
-    m2 = base.agg(F.max("norm2")).collect()[0][0] or 0
+    row = base.agg(F.max("norm2").alias("m2"), F.count(F.lit(1)).alias("n")).collect()[0]
+    m2, n = int(row["m2"] or 0), int(row["n"])
     if h is not None:
         if len(_M2_CACHE) > 64:
             _M2_CACHE.clear()
-        _M2_CACHE[h] = m2
-    return m2
+        _M2_CACHE[h] = (m2, n)
+    return m2, n
+
+
+# ~rows per LSH bucket the plane count aims for: buckets must TRACK the
+# corpus size or the bucket equi-join degenerates toward all-pairs — at
+# n_planes=6 a 1M-vector corpus packs ~16k vectors per bucket and a
+# 4096-query Hamming-2 probe join emits ~10^10 candidate pairs (measured:
+# wedged >45min at 16c before this round made the count adaptive; the r6
+# plan audit's "bucketed equi-join, never all-pairs" only holds when bucket
+# occupancy is bounded). 128 keeps per-(query,table) candidates ~10^4 at
+# Hamming-2 probe depth while recall floors are held by the 8 independent
+# tables (1-(1-r)^8).
+LSH_BUCKET_TARGET_ROWS = 128
+
+
+def auto_planes(n_corpus: int) -> int:
+    """Plane count so 2^planes ≈ n/LSH_BUCKET_TARGET_ROWS, floored at the
+    historical 6 (small corpora — the sf gate/bench sizes — are unchanged
+    bit-for-bit: every plane family with the same offset hashes the same)."""
+    import math
+
+    if n_corpus <= 0:
+        return 6
+    return max(6, math.ceil(math.log2(max(2.0, n_corpus / LSH_BUCKET_TARGET_ROWS))))
 
 
 def _table_keys_udf(n_planes: int, n_tables: int, m2: int, aug_zero: bool):
@@ -135,7 +162,7 @@ def _table_keys_udf(n_planes: int, n_tables: int, m2: int, aug_zero: bool):
     return keys
 
 
-def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int = 6) -> DataFrame:
+def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int | None = None) -> DataFrame:
     """Approximate top-k MIPS: asymmetric norm augmentation + hyperplane
     LSH buckets + exact integer re-rank.
 
@@ -154,6 +181,9 @@ def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int = 6)
          neighbor is found if ANY table collides — recall
          1-(1-r)^L. The data side explodes over tables map-side (queries
          are the broadcast side; nothing reshuffles the corpus).
+    ``n_planes=None`` (default) sizes the plane count off the corpus row
+    count (auto_planes) so bucket occupancy stays ~LSH_BUCKET_TARGET_ROWS
+    at any scale; corpora up to ~8k rows get the historical 6.
     The re-rank uses the ORIGINAL vectors' exact integer dot. Output shape
     == topk_dot (rn may be < k if buckets are small). At 100TB the
     bucketed join replaces topk_dot's full scan; recall is pytest-checked
@@ -167,7 +197,9 @@ def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int = 6)
     candidate set by vec_id."""
     n_tables = 8
     base = quantized_embeddings(emb)
-    m2 = _corpus_max_norm(base)
+    m2, n_corpus = _corpus_stats(base)
+    if n_planes is None:
+        n_planes = auto_planes(n_corpus)
     dkeys = _table_keys_udf(n_planes, n_tables, m2, aug_zero=False)(F.col("qv"), F.col("norm2"))
     corpus = base.select("vec_id", F.explode(dkeys).alias("bucket"))
     qbase = base.where(F.col("vec_id") < n_queries)

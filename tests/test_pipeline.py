@@ -132,6 +132,45 @@ def test_ann_lsh_recall(emb, emb_q):
     assert np.mean(recalls) >= 0.85
 
 
+def test_ann_lsh_adaptive_planes(spark, emb):
+    """r7: the LSH plane count tracks corpus size. Fixed 6 planes = 64
+    buckets/table packs ~16k vectors per bucket at a 1M-row corpus, so the
+    bucket equi-join degenerates toward all-pairs (measured: a 4096-query
+    probe join emitted ~10^10 candidate pairs and wedged). Small corpora
+    (every sf gate/bench size) keep the historical 6 — bit-identical."""
+    assert SIM.auto_planes(0) == 6
+    assert SIM.auto_planes(500) == 6
+    assert SIM.auto_planes(2000) == 6  # sf0.1 bench corpus: unchanged
+    assert SIM.auto_planes(16_000) == 7
+    assert SIM.auto_planes(1_024_000) == 13
+    # behavior: a 16k-row near-replica corpus engages the 7-plane code and
+    # still clears the recall floor vs the exact ranker on the SAME corpus
+    reps = 32
+    big = (
+        spark.range(reps)
+        .crossJoin(emb)
+        .select(
+            (F.col("vec_id") + F.col("id") * 100_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.col("id").cast("float") * F.lit(0.001)).alias(
+                "embedding"
+            ),
+            "label",
+        )
+        .persist()
+    )
+    try:
+        exact = SIM.topk_dot(big, n_queries=8, k=10).toPandas()
+        approx = SIM.ann_lsh(big, n_queries=8, k=10).toPandas()
+        recalls = []
+        for qid in exact.qid.unique():
+            e = set(exact[exact.qid == qid].vec_id)
+            a = set(approx[approx.qid == qid].vec_id)
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.8
+    finally:
+        big.unpersist()
+
+
 def test_embedding_dup_pairs_exact(emb, emb_q):
     ids, q = emb_q
     got = DD.embedding_dup_pairs(emb).toPandas()
