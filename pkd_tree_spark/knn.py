@@ -111,6 +111,21 @@ LEAF_COLLECT_CAP = 100_000
 # counts (and every straggler round >= 2 is tiny). Large query batches
 # (the 1%-of-n harness at 38.4M+) keep the distributed path.
 DRIVER_CELLS_MAX_QUERIES = 20_000
+# round-1 cell relations above this row count take a SHUFFLED join against
+# the points (planner's choice, sort-merge at these shapes) instead of a
+# broadcast. A multi-million-row broadcast relation is built serially on
+# the driver and probed cold by every task; the interleaved same-JVM A/B
+# at 38.4M varden (413k queries, ~3.7M cell rows) measured broadcast
+# 46.4/47.8/65.1s vs shuffled 37.1-44.0s per knn call — every pair 20-30%
+# better shuffled — while uniform (smaller relation) was neutral, and a
+# forced shuffle-hash variant was no better than sort-merge at either
+# scale (153.6M varden: SMJ 42.6/43.0 vs SHJ 43.9/49.4 interleaved), so no
+# join-strategy hint is pinned. 153.6M already exceeded the old
+# BROADCAST_BYTES gate, which is WHY its 1.5M-query varden round posted
+# eff 0.84 while 38.4M sat at 0.42: the serial relation build didn't scale
+# with cores. 1M rows ≈ 24MB of relation — comfortably broadcastable when
+# under; straggler rounds and bench-sized batches stay broadcast/local.
+CELLS_BCAST_ROWS = int(os.environ.get("PKD_CELLS_BCAST_ROWS", "1000000"))
 
 # phase profiler (diagnostic only): PKD_PROF=1 prints per-phase walls to
 # stderr — zero overhead when unset beyond a clock read per phase
@@ -1007,8 +1022,8 @@ def knn(
             if len(pdf):
                 yield _resolved_cells(pdf, d, cb, L, meta)
 
-    # bytes-aware broadcast limits (rows): see BROADCAST_BYTES note above
-    cells_bcast_rows = BROADCAST_BYTES // 24
+    # bytes-aware broadcast limits (rows): see BROADCAST_BYTES / CELLS_BCAST_ROWS notes above
+    cells_bcast_rows = min(CELLS_BCAST_ROWS, BROADCAST_BYTES // 24)
     qside_bcast_rows = BROADCAST_BYTES // (8 * (d + 3))
     leaf_shift = d * (kb - L)
 

@@ -214,3 +214,24 @@ def test_knn_spark_vs_driver_loop_equivalence(spark, cfg, index_uniform):
         b, sb = _sorted(res_b), st_b.toPandas().sort_values("qid").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(sa, sb)
+
+
+def test_knn_cells_join_over_gate_equivalence(spark, cfg, index_varden):
+    """r7: cell relations over CELLS_BCAST_ROWS take a shuffled join
+    instead of a driver-built broadcast (the broadcast relation build is
+    serial and was the 38.4M varden round-1 bottleneck). Forcing the
+    shuffled path at a tiny size must give byte-identical rows AND stats
+    to the broadcast path."""
+    import unittest.mock as mock
+
+    import pkd_tree_spark.knn as K
+
+    queries = FX.knn_fixtures(32, 2)
+    with mock.patch.object(K, "DRIVER_CELLS_MAX_QUERIES", -1):
+        res_a, st_a = knn(index_varden, queries, k=10, return_stats=True)
+        a, sa = _sorted(res_a), st_a.toPandas().sort_values("qid").reset_index(drop=True)
+        with mock.patch.object(K, "CELLS_BCAST_ROWS", 0):
+            res_b, st_b = knn(index_varden, queries, k=10, return_stats=True)
+            b, sb = _sorted(res_b), st_b.toPandas().sort_values("qid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(sa, sb)
