@@ -190,18 +190,19 @@ def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int | No
     AND logged per bench run (ann_recall_at_10).
 
     Plan shape: the corpus pass is ONE pandas-UDF projection (all 8 table
-    keys per row in one matmul, see _table_keys_udf) exploded to slim
-    (vec_id, bucket) pairs — the embedding array never rides the ×8
-    explode; probe flips (Hamming-0/1/2 XOR masks) expand the tiny
-    broadcast query side; the exact re-rank joins qv back onto the small
-    candidate set by vec_id."""
+    keys per row in one matmul, see _table_keys_udf); probe flips
+    (Hamming-0/1/2 XOR masks) expand the small query side; candidates are
+    re-ranked per BUCKET by one exact int64 GEMM per cogrouped bucket with
+    a lossless per-(query, bucket) top-k cut, so candidate PAIRS are never
+    materialized (see the inline note) and only <= k rows per (qid,
+    bucket) reach the global window."""
     n_tables = 8
     base = quantized_embeddings(emb)
     m2, n_corpus = _corpus_stats(base)
     if n_planes is None:
         n_planes = auto_planes(n_corpus)
     dkeys = _table_keys_udf(n_planes, n_tables, m2, aug_zero=False)(F.col("qv"), F.col("norm2"))
-    corpus = base.select("vec_id", F.explode(dkeys).alias("bucket"))
+    corpus_b = base.select("vec_id", "qv", F.explode(dkeys).alias("bucket"))
     qbase = base.where(F.col("vec_id") < n_queries)
     qkeys = _table_keys_udf(n_planes, n_tables, m2, aug_zero=True)(F.col("qv"), F.col("norm2"))
     masks = (
@@ -214,17 +215,72 @@ def ann_lsh(emb: DataFrame, n_queries: int = 16, k: int = 10, n_planes: int | No
         .select("qid", "b0", F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"))
         .select("qid", F.col("b0").bitwiseXOR(F.col("mask")).alias("bucket"))
     )
-    cand_ids = (
-        corpus.join(F.broadcast(qprobe), "bucket")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id")
-        .distinct()
+    # Per-BUCKET GEMM re-rank (r7): the prior shape materialized one row
+    # per (qid, vec_id) candidate PAIR and computed a higher-order-function
+    # dot per pair — at the 1M-vector study the skewed buckets emitted
+    # 10^8+ pairs and the pair join + per-pair dot was 1026s of the wall.
+    # Instead, cogroup the corpus's (vec_id, qv, bucket) rows with the
+    # probe rows per bucket and compute ALL of a bucket's query x corpus
+    # dots as ONE int64 numpy GEMM (exact: |qv| <= ~2^12, d sums << 2^63,
+    # identical to the old per-pair aggregate), keeping only the per-
+    # (query, bucket) top-k. A global top-k member beats < k candidates in
+    # EVERY bucket that contains it, so the per-bucket cut is lossless and
+    # only <= k rows per (qid, bucket) reach the dedup + global window.
+    # The embedding array rides the xL explode once (L*corpus bytes
+    # shuffled, bounded) instead of riding every candidate pair.
+    spark = emb.sparkSession
+    qpd = qbase.select("vec_id", "qv").toPandas()
+    qindex = {int(v): i for i, v in enumerate(qpd["vec_id"].to_numpy())}
+    qmat = (
+        np.stack(qpd["qv"].to_numpy()).astype(np.int64)
+        if len(qpd)
+        else np.zeros((0, 1), dtype=np.int64)
     )
-    qq = qbase.select(F.col("vec_id").alias("qid"), F.col("qv").alias("qq"))
+    bq = spark.sparkContext.broadcast((qindex, qmat))
+    kk = int(k)
+
+    def _bucket_topk(cpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "dot": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(cpdf) or not len(ppdf):
+            return empty
+        qidx, qm = bq.value
+        V = np.stack(cpdf["qv"].to_numpy()).astype(np.int64)
+        vid = cpdf["vec_id"].to_numpy()
+        qs = ppdf["qid"].to_numpy()
+        dots = qm[[qidx[int(q)] for q in qs]] @ V.T  # (nq_b, nv_b) exact
+        oq, ov, od = [], [], []
+        for r in range(len(qs)):
+            keep = vid != qs[r]  # self-exclusion, as the old pair filter
+            ids, dd = vid[keep], dots[r][keep]
+            if not len(ids):
+                continue
+            top = np.lexsort((ids, -dd))[: min(kk, len(ids))]  # (-dot, vec_id)
+            oq.append(np.full(len(top), qs[r], dtype=np.int64))
+            ov.append(ids[top])
+            od.append(dd[top])
+        if not oq:
+            return empty
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(oq),
+                "vec_id": np.concatenate(ov),
+                "dot": np.concatenate(od),
+            }
+        )
+
     cand = (
-        cand_ids.join(base.select("vec_id", "qv"), "vec_id")
-        .join(F.broadcast(qq), "qid")
-        .select("qid", "vec_id", _dot("qq", "qv").alias("dot"))
+        corpus_b.groupBy("bucket")
+        .cogroup(qprobe.groupBy("bucket"))
+        .applyInPandas(_bucket_topk, "qid long, vec_id long, dot long")
+        # a pair reached via several tables/probes carries the SAME exact
+        # dot every time — dedup before ranking, as the old distinct did
+        .dropDuplicates(["qid", "vec_id"])
     )
     w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
     return (

@@ -171,6 +171,66 @@ def test_ann_lsh_adaptive_planes(spark, emb):
         big.unpersist()
 
 
+def test_ann_lsh_bucket_gemm_matches_pair_join(spark, emb):
+    """r7: ann_lsh's per-bucket GEMM re-rank (lossless per-(query, bucket)
+    top-k before the global window) must be bit-identical to the
+    candidate-pair join + per-pair exact HOF dot it replaced — same
+    buckets, same probes, same exact int64 dots, same (-dot, vec_id)
+    tie-break."""
+    import pkd_tree_spark.pipeline.similarity as S
+    from pyspark.sql import Window
+
+    base = S.quantized_embeddings(emb)
+    m2, n = S._corpus_stats(base)
+    n_planes, n_tables, nq, k = S.auto_planes(n), 8, 16, 10
+    dkeys = S._table_keys_udf(n_planes, n_tables, m2, aug_zero=False)(
+        F.col("qv"), F.col("norm2")
+    )
+    corpus = base.select("vec_id", F.explode(dkeys).alias("bucket"))
+    qbase = base.where(F.col("vec_id") < nq)
+    qkeys = S._table_keys_udf(n_planes, n_tables, m2, aug_zero=True)(
+        F.col("qv"), F.col("norm2")
+    )
+    masks = (
+        [0]
+        + [1 << p for p in range(n_planes)]
+        + [(1 << p) | (1 << p2) for p in range(n_planes) for p2 in range(p + 1, n_planes)]
+    )
+    qprobe = (
+        qbase.select(F.col("vec_id").alias("qid"), F.explode(qkeys).alias("b0"))
+        .select("qid", "b0", F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"))
+        .select("qid", F.col("b0").bitwiseXOR(F.col("mask")).alias("bucket"))
+    )
+    cand_ids = (
+        corpus.join(F.broadcast(qprobe), "bucket")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    qq = qbase.select(F.col("vec_id").alias("qid"), F.col("qv").alias("qq"))
+    cand = (
+        cand_ids.join(base.select("vec_id", "qv"), "vec_id")
+        .join(F.broadcast(qq), "qid")
+        .select("qid", "vec_id", S._dot("qq", "qv").alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    want = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("rn").cast("long").alias("rn"), "vec_id", "dot")
+        .toPandas()
+        .sort_values(["qid", "rn"])
+        .reset_index(drop=True)
+    )
+    got = (
+        S.ann_lsh(emb, n_queries=nq, k=k)
+        .toPandas()
+        .sort_values(["qid", "rn"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_embedding_dup_pairs_exact(emb, emb_q):
     ids, q = emb_q
     got = DD.embedding_dup_pairs(emb).toPandas()
